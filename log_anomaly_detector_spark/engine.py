@@ -1,0 +1,252 @@
+"""The validation engine: plan → rule passes → verdicts + violations →
+manifest checkpoint + lineage.
+
+One run over a batch of partitions executes exactly four jobs regardless of
+row count (the shape that survives 10^12 rows):
+
+1. the single stats scan (partial+final hash agg → one tiny row/partition);
+2. the row-rule scan (column exprs + broadcast anti-join + salted-dedup
+   uniqueness + snapshot join with the Arrow equality UDF), written straight
+   to the violations table (no driver round-trip of row data);
+3. a tiny aggregate over the *written* violations (distinct violating docs
+   per partition);
+4. the verdict/manifest commit (driver-side, O(partitions)).
+
+Verdict semantics pinned to the reference (config.py): per-partition label is
+``'Anomaly'`` iff round(score, 6) >= seq_threshold
+(``api/detect_anomaly_sequence_v2.py:245-246``) or any partition-scope rule
+failed; per-rule exceedance is strict ``>`` (``bert_pytorch/predict_log.py:16-29``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_anomaly_detector_spark import RULE_VERSIONS
+from log_anomaly_detector_spark.config import DEFAULT_CONFIG, RuleConfig
+from log_anomaly_detector_spark import storage
+from log_anomaly_detector_spark.rules.column_stats import stats_pass, stats_verdicts
+from log_anomaly_detector_spark.rules.drift import drift_verdicts
+from log_anomaly_detector_spark.rules.row_invariants import (
+    ntok_consistency_violations,
+    referential_violations,
+)
+from log_anomaly_detector_spark.rules.token_equality import token_equality_violations
+from log_anomaly_detector_spark.rules.uniqueness import uniqueness_violations
+
+VERDICT_SCHEMA = (
+    "part_id int, label string, score double, n_rows long, "
+    "violating_docs long, failed_rules array<string>"
+)
+RULE_VERDICT_SCHEMA = (
+    "part_id int, rule_id string, passed boolean, observed_stat double, "
+    "threshold double"
+)
+
+
+@dataclass
+class ValidationResult:
+    verdicts: list[dict] = field(default_factory=list)       # one per partition
+    rule_verdicts: list[dict] = field(default_factory=list)  # per (part, rule)
+    metrics: dict = field(default_factory=dict)
+    out_dir: str = ""
+
+
+def _row_rule_violations(
+    seqs: DataFrame, snapshot: DataFrame, allowed: DataFrame, cfg: RuleConfig
+) -> DataFrame:
+    return (
+        ntok_consistency_violations(seqs)
+        .unionByName(referential_violations(seqs, allowed))
+        .unionByName(uniqueness_violations(seqs, cfg))
+        .unionByName(token_equality_violations(seqs, snapshot))
+    )
+
+
+def run_validation(
+    spark: SparkSession,
+    seqs: DataFrame,
+    snapshot: DataFrame,
+    allowed: DataFrame,
+    baseline: dict,
+    out_dir: str,
+    cfg: RuleConfig = DEFAULT_CONFIG,
+    input_digest: str = "",
+    batch_parts: int | None = None,
+    max_batches: int | None = None,
+) -> ValidationResult:
+    """Validate all partitions of ``seqs`` not yet checkpointed as done.
+
+    ``batch_parts`` controls checkpoint granularity (partitions per commit);
+    default = all pending in one batch. ``max_batches`` stops early (used by
+    the resume test to simulate a killed run).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    sources = [r["source"] for r in allowed.select("source").distinct().collect()]
+    sources.sort()
+
+    t_all = time.time()
+    all_parts = sorted(
+        r["part_id"] for r in seqs.select("part_id").distinct().collect()
+    )
+    done = storage.completed_partitions(out_dir, input_digest, RULE_VERSIONS)
+    pending = [p for p in all_parts if p not in done]
+    if batch_parts is None:
+        batch_parts = max(len(pending), 1)
+    batches = [pending[i : i + batch_parts] for i in range(0, len(pending), batch_parts)]
+    if max_batches is not None:
+        batches = batches[:max_batches]
+
+    result = ValidationResult(out_dir=out_dir)
+    viol_path = os.path.join(out_dir, "violations")
+    verd_path = os.path.join(out_dir, "verdicts")
+    total_rows = 0
+
+    for batch in batches:
+        t0 = time.time()
+        # partition pruning: on Iceberg/hive layouts this filter prunes files
+        sub = seqs.filter(F.col("part_id").isin([int(p) for p in batch]))
+
+        # job 1: the single stats scan
+        stats_rows = [r.asDict() for r in stats_pass(sub, cfg, sources).collect()]
+        stats_by_part = {r["part_id"]: r for r in stats_rows}
+
+        # job 2: row rules → violations table (delete+insert, idempotent)
+        viol = _row_rule_violations(sub, snapshot, allowed, cfg)
+        storage.overwrite_partitions(viol, viol_path, batch)
+
+        # job 3: tiny agg over written violations
+        written = storage.read_table(spark, viol_path)
+        vio_stats = (
+            written.filter(F.col("part_id").isin([int(p) for p in batch]))
+            .groupBy("part_id", "rule_id")
+            .agg(F.countDistinct("doc_id").alias("docs"))
+            .collect()
+            if written is not None
+            else []
+        )
+        docs_by_part_rule: dict[tuple[int, str], int] = {
+            (r["part_id"], r["rule_id"]): r["docs"] for r in vio_stats
+        }
+
+        # verdict assembly (driver-side, O(partitions))
+        rule_rows = stats_verdicts(stats_rows, cfg)
+        rule_rows += drift_verdicts(stats_rows, baseline, cfg, sources)
+        dp = cfg.score_round_dp
+        for pid in batch:
+            n = stats_by_part[pid]["n_rows"] if pid in stats_by_part else 0
+            for rid in cfg.row_rules:
+                docs = docs_by_part_rule.get((pid, rid), 0)
+                ratio = round(docs / n, dp) if n else 0.0
+                rule_rows.append(
+                    {
+                        "part_id": pid,
+                        "rule_id": rid,
+                        "passed": docs == 0,
+                        "observed_stat": ratio,
+                        "threshold": 0.0,
+                    }
+                )
+
+        # distinct docs with ANY row-scope violation (score numerator)
+        any_docs = (
+            {
+                r["part_id"]: r["docs"]
+                for r in written.filter(
+                    F.col("part_id").isin([int(p) for p in batch])
+                )
+                .groupBy("part_id")
+                .agg(F.countDistinct("doc_id").alias("docs"))
+                .collect()
+            }
+            if written is not None
+            else {}
+        )
+
+        batch_rule_rows = [r for r in rule_rows if r["part_id"] in set(batch)]
+        wall = time.time() - t0
+        batch_rows = sum(stats_by_part[p]["n_rows"] for p in batch if p in stats_by_part)
+        total_rows += batch_rows
+        manifest_records = []
+        for pid in batch:
+            n = stats_by_part[pid]["n_rows"] if pid in stats_by_part else 0
+            vdocs = any_docs.get(pid, 0)
+            score = round(vdocs / n, dp) if n else 0.0
+            failed = sorted(
+                r["rule_id"]
+                for r in batch_rule_rows
+                if r["part_id"] == pid
+                and not r["passed"]
+                and r["rule_id"] in cfg.partition_rules
+            )
+            label = (
+                "Anomaly" if (score >= cfg.seq_threshold or failed) else "Normal"
+            )
+            result.verdicts.append(
+                {
+                    "part_id": pid,
+                    "label": label,
+                    "score": score,
+                    "n_rows": n,
+                    "violating_docs": vdocs,
+                    "failed_rules": failed,
+                }
+            )
+            stats_digest = hashlib.sha256(
+                json.dumps(
+                    {k: str(v) for k, v in sorted(stats_by_part.get(pid, {}).items())},
+                    sort_keys=True,
+                ).encode()
+            ).hexdigest()[:16]
+            manifest_records.append(
+                {
+                    "part_id": pid,
+                    "status": "done",
+                    "label": label,
+                    "score": score,
+                    "n_rows": n,
+                    "input_digest": input_digest,
+                    "rule_versions": RULE_VERSIONS,
+                    "stats_digest": stats_digest,
+                    "batch_wall_sec": round(wall, 3),
+                    "batch_rows_per_sec": round(batch_rows / wall, 1) if wall else None,
+                }
+            )
+        result.rule_verdicts.extend(batch_rule_rows)
+
+        # persist verdicts (partitioned, idempotent like violations)
+        verd_df = spark.createDataFrame(
+            [
+                (
+                    v["part_id"],
+                    v["label"],
+                    v["score"],
+                    v["n_rows"],
+                    v["violating_docs"],
+                    v["failed_rules"],
+                )
+                for v in result.verdicts
+                if v["part_id"] in set(batch)
+            ],
+            VERDICT_SCHEMA,
+        )
+        storage.overwrite_partitions(verd_df, verd_path, batch)
+        storage.append_manifest(out_dir, manifest_records)
+
+    wall_all = time.time() - t_all
+    result.metrics = {
+        "partitions_total": len(all_parts),
+        "partitions_skipped": len(done),
+        "partitions_validated": sum(len(b) for b in batches),
+        "rows_validated": total_rows,
+        "wall_sec": round(wall_all, 3),
+        "rows_per_sec": round(total_rows / wall_all, 1) if wall_all else None,
+    }
+    return result

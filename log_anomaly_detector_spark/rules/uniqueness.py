@@ -1,0 +1,56 @@
+"""Uniqueness on doc_id (R4) with explicit skew defusal.
+
+Reference analogue: ``block_id`` is a PRIMARY KEY and collisions are handled
+by upsert-on-conflict (``database/migration/...init_schema.sql:12``,
+``database/upsert_log_block.py:24-29``). At 10^12 rows a naive
+``groupBy(doc_id)`` would send every copy of a pathologically hot key to one
+reducer, so the check is two-phase:
+
+1. **salted partial count** — ``groupBy(doc_id, salt)`` where the salt is the
+   input split id, so identical keys scattered across the table are first
+   collapsed *within* their split (map-side combine reduces each key to at
+   most one row per task before any shuffle; the salt keeps even a
+   billion-copy key spread over ``salt_buckets`` reducers);
+2. **final count** — ``groupBy(doc_id)`` over the already-collapsed partials
+   (≤ buckets rows per key), then ``filter(cnt > 1)``.
+
+The offending rows are then retrieved with a join against the (normally tiny)
+duplicate-key set; AQE picks a broadcast build side when it is small and a
+skew-split shuffle join when it is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from log_anomaly_detector_spark.config import RuleConfig
+
+
+def duplicate_keys(df: DataFrame, cfg: RuleConfig) -> DataFrame:
+    """(doc_id, dup_cnt) for every doc_id appearing more than once."""
+    salt = F.pmod(F.spark_partition_id(), F.lit(cfg.uniqueness_salt_buckets)).alias(
+        "salt"
+    )
+    partial = df.select("doc_id", salt).groupBy("doc_id", "salt").count()
+    return (
+        partial.groupBy("doc_id")
+        .agg(F.sum("count").alias("dup_cnt"))
+        .filter(F.col("dup_cnt") > 1)
+    )
+
+
+def uniqueness_violations(df: DataFrame, cfg: RuleConfig) -> DataFrame:
+    """Violation rows: every physical row whose doc_id is duplicated."""
+    dups = duplicate_keys(df, cfg)
+    return (
+        df.select("part_id", "doc_id")
+        .join(dups, "doc_id", "inner")
+        .select(
+            "part_id",
+            "doc_id",
+            F.lit("uniqueness").alias("rule_id"),
+            F.concat(F.lit("count="), F.col("dup_cnt").cast("string")).alias("observed"),
+            F.lit("count=1").alias("expected"),
+        )
+    )

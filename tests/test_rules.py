@@ -1,0 +1,112 @@
+"""Unit tests for each rule pack on tiny handcrafted DataFrames."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from log_anomaly_detector_spark.config import DEFAULT_CONFIG as CFG
+from log_anomaly_detector_spark.rules.drift import chi2_norm, ks_d, psi
+from log_anomaly_detector_spark.rules.row_invariants import (
+    ntok_consistency_violations,
+    referential_violations,
+)
+from log_anomaly_detector_spark.rules.token_equality import (
+    first_mismatch,
+    token_equality_violations,
+)
+from log_anomaly_detector_spark.rules.uniqueness import uniqueness_violations
+
+SEQ_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string, part_id int"
+
+
+def test_ntok_consistency(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 2], 2, "s", 0), ("b", [1, 2, 3], 2, "s", 0), ("c", [], 0, "s", 1)],
+        SEQ_SCHEMA,
+    )
+    got = {r["doc_id"]: r for r in ntok_consistency_violations(df).collect()}
+    assert set(got) == {"b"}
+    assert got["b"]["observed"] == "n_tok=2" and got["b"]["expected"] == "size(tokens)=3"
+
+
+def test_referential(spark):
+    df = spark.createDataFrame(
+        [("a", [1], 1, "ok", 0), ("b", [1], 1, "bad", 0), ("c", [1], 1, None, 0)],
+        SEQ_SCHEMA,
+    )
+    dim = spark.createDataFrame([("ok", "d")], "source string, description string")
+    got = referential_violations(df, dim).collect()
+    assert [(r["doc_id"], r["observed"]) for r in got] == [("b", "bad")]
+
+
+def test_uniqueness(spark):
+    df = spark.createDataFrame(
+        [("a", [1], 1, "s", 0), ("a", [1], 1, "s", 1), ("b", [1], 1, "s", 0)],
+        SEQ_SCHEMA,
+    )
+    got = uniqueness_violations(df, CFG).collect()
+    assert sorted((r["doc_id"], r["part_id"]) for r in got) == [("a", 0), ("a", 1)]
+    assert all(r["observed"] == "count=2" for r in got)
+
+
+def test_token_equality_udf_vs_sql(spark):
+    """The Arrow UDF must agree with the pure-SQL zip_with formulation."""
+    rows = [
+        ("eq", [1, 2, 3], 3, "s", 0),
+        ("val_mismatch", [1, 9, 3], 3, "s", 0),
+        ("a_longer", [1, 2, 3, 4], 4, "s", 0),
+        ("b_longer", [1, 2], 2, "s", 0),
+        ("first_tok", [9, 2, 3], 3, "s", 0),
+        ("empty_vs", [], 0, "s", 0),
+    ]
+    snap_rows = [
+        ("eq", [1, 2, 3]),
+        ("val_mismatch", [1, 2, 3]),
+        ("a_longer", [1, 2, 3]),
+        ("b_longer", [1, 2, 3]),
+        ("first_tok", [1, 2, 3]),
+        ("empty_vs", [1]),
+        ("not_in_seqs", [7]),
+    ]
+    df = spark.createDataFrame(rows, SEQ_SCHEMA)
+    snap = spark.createDataFrame(snap_rows, "doc_id string, ref_tokens array<int>")
+
+    got = {
+        r["doc_id"]: (r["observed"], r["expected"])
+        for r in token_equality_violations(df, snap).collect()
+    }
+    assert set(got) == {"val_mismatch", "a_longer", "b_longer", "first_tok", "empty_vs"}
+    assert got["val_mismatch"] == ("tokens[1]=9", "ref=2")
+    assert got["first_tok"] == ("tokens[0]=9", "ref=1")
+    assert got["a_longer"] == ("tokens[3]=4", "ref=-1")   # extra slot in observed
+    assert got["b_longer"] == ("tokens[2]=-1", "ref=3")   # missing slot
+    assert got["empty_vs"] == ("tokens[0]=-1", "ref=1")
+
+    # SQL cross-check of the equality decision itself
+    sql_idx = (
+        df.join(snap, "doc_id")
+        .withColumn(
+            "sql_neq",
+            ~(F.col("tokens") == F.col("ref_tokens")),
+        )
+        .withColumn("m", first_mismatch("tokens", "ref_tokens"))
+        .select("doc_id", "sql_neq", (F.col("m.idx") >= 0).alias("udf_neq"))
+        .collect()
+    )
+    for r in sql_idx:
+        assert r["sql_neq"] == r["udf_neq"], r
+
+
+def test_drift_stats_math():
+    p = np.array([10.0, 20, 30, 40])
+    q = np.array([10.0, 20, 30, 40])
+    assert psi(p, q) == 0.0
+    assert ks_d(p, q) == 0.0
+    assert chi2_norm(p, q) == 0.0
+    p2 = np.array([40.0, 30, 20, 10])
+    # hand-computed: shares p=[.4,.3,.2,.1], q=[.1,.2,.3,.4]
+    ps, qs = p2 / 100.0, q / 100.0
+    assert abs(psi(p2, q) - float(np.sum((ps - qs) * np.log(ps / qs)))) < 1e-12
+    assert abs(ks_d(p2, q) - 0.4) < 1e-12  # cum p=[.4,.7,.9,1], q=[.1,.3,.6,1]
+    assert abs(chi2_norm(p2, q) - float(np.sum((ps - qs) ** 2 / qs))) < 1e-12
