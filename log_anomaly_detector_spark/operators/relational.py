@@ -1,0 +1,545 @@
+"""Relational operator pack — SURVEY.md §2 inventory over the testdata
+tables. Every query is a declarative DataFrame plan (Catalyst handles
+pushdown/pruning/join selection); each has a DuckDB oracle in ORACLES.
+
+Reference citations (file:line) are on each function so parity can be
+checked against the operator inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: TPC-H-Q1-shaped pricing summary (A4/A5 aggregate family; the
+# reference's summary step detect_anomaly_sequence.py:162-173 lifted to the
+# canonical OLAP shape). Whole-stage-codegen single scan, 8 aggregates.
+# --------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE on float determinism (applies to every money aggregate here):
+    # a parallel sum of doubles is order-sensitive, so oracle comparison
+    # would be flaky. Sums are therefore taken over per-row `floor(x*scale)`
+    # integers — per-row IEEE double ops are bitwise identical across
+    # engines, and integer sums are exact and order-free.
+    li = t(spark, sf_dir, "lineitem")
+    qty_c = F.floor(F.col("l_quantity") * 100)
+    base_c = F.floor(F.col("l_extendedprice") * 100)
+    disc_c = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+    charge_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 10000
+    )
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1995-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_c).alias("sum_qty_c"),
+            F.sum(base_c).alias("sum_base_price_c"),
+            F.sum(disc_c).alias("sum_disc_price_c"),
+            F.sum(charge_c).alias("sum_charge_c"),
+            F.round(F.sum(qty_c) / 100.0 / n, 6).alias("avg_qty"),
+            F.round(F.sum(base_c) / 100.0 / n, 6).alias("avg_price"),
+            F.round(F.sum(F.floor(F.col("l_discount") * 10000)) / 10000.0 / n, 6).alias(
+                "avg_disc"
+            ),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(floor(l_quantity * 100) AS bigint)) AS bigint) AS sum_qty_c,
+       cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) AS sum_base_price_c,
+       cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000) AS bigint)) AS bigint) AS sum_disc_price_c,
+       cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS bigint)) AS bigint) AS sum_charge_c,
+       round(sum(cast(floor(l_quantity * 100) AS bigint)) / 100.0 / count(*), 6) AS avg_qty,
+       round(sum(cast(floor(l_extendedprice * 100) AS bigint)) / 100.0 / count(*), 6) AS avg_price,
+       round(sum(cast(floor(l_discount * 10000) AS bigint)) / 10000.0 / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1995-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- A1: order-preserving group-collect (HDFS/data_process.py:86-91 —
+# block_id → [event…] in LineId order; Spark collect_list is unordered so the
+# order is pinned via array_sort over (ts, event_id) structs) ---------------
+def q_group_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        " ",
+    )
+    return ev.groupBy("user_id").agg(
+        seq.alias("event_seq"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+_A1_SQL = """
+SELECT user_id,
+       string_agg(event_type, ' ' ORDER BY ts, event_id) AS event_seq,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# --- A2: template frequency count (Drain.py:233-237 value_counts) ----------
+def q_template_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+
+
+_A2_SQL = "SELECT event_type, count(*) AS occurrences FROM events GROUP BY event_type"
+
+
+# --- A3/W2: occurrence-ranked dense enumeration (HDFS/data_process.py:33-40;
+# ties broken by event_type asc — pinned secondary key, FIXTURES.md) --------
+def q_ranked_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = q_template_frequency(spark, sf_dir)
+    w = Window.orderBy(F.desc("occurrences"), F.asc("event_type"))
+    return counts.withColumn("mapping_id", F.row_number().over(w))
+
+
+_A3_SQL = """
+SELECT event_type, count(*) AS occurrences,
+       cast(row_number() OVER (ORDER BY count(*) DESC, event_type) AS int) AS mapping_id
+FROM events GROUP BY event_type
+"""
+
+
+# --- A4/A5/A6 + R9: conditional counts, ratio score, threshold verdict
+# (compute_anomaly predict_log.py:16-29 strict >; verdict label uses >=,
+# detect_anomaly_sequence_v2.py:245-246; round 6dp upsert_log_block.py:32) ---
+def q_threshold_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("n_high"),
+    )
+    score = F.round(F.col("n_high") / F.col("n_total"), 6)
+    return agg.select(
+        "user_id",
+        "n_total",
+        "n_high",
+        score.alias("anomaly_score"),
+        F.when(score >= 0.2, F.lit("Anomaly")).otherwise(F.lit("Normal")).alias("label"),
+    )
+
+
+_A456_SQL = """
+SELECT user_id, count(*) AS n_total,
+       cast(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS bigint) AS n_high,
+       round(cast(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS bigint) / count(*), 6) AS anomaly_score,
+       CASE WHEN round(cast(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS bigint) / count(*), 6) >= 0.2
+            THEN 'Anomaly' ELSE 'Normal' END AS label
+FROM events GROUP BY user_id
+"""
+
+
+# --- A10: exact quantile (pretrain.py:210-213 radius quantile) --------------
+def q_quantile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"))
+    )
+
+
+_A10_SQL = """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
+# --- A11: exact distinct (Drain.py:235 unique()); HLL++ variant is
+# q_hll_distinct (rows-only — approximate by design) -------------------------
+def q_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_A11_SQL = (
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=1%) — the scale path for R3."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+# --- J1: broadcast hash join to a small dimension (HDFS/data_process.py:99-106
+# label-dict lookup) ----------------------------------------------------------
+def q_broadcast_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            ).alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_J1_SQL = """
+SELECT p_brand,
+       cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000) AS bigint)) AS bigint) AS revenue_c,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --- J2: broadcast left join + default (event_num.get(x, -1),
+# HDFS/data_process.py:82-84 → join + coalesce, never a Python UDF) ----------
+def q_left_join_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left")
+        .select(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_J2_SQL = """
+SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, count(*) AS n_events
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
+# --- J3: anti join — NOT IN (api/log_sequences.py:62) -----------------------
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_brand")
+    )
+
+
+_J3_SQL = """
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+# --- J4: semi join — IN (api/log_sequences.py:60) ---------------------------
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_J4_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+# --- J5: inner join + count (api/log_sequences.py:65-70) ---------------------
+def q_inner_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).alias("total_price_c"),
+        )
+    )
+
+
+_J5_SQL = """
+SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+       cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS total_price_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+# --- J6/A1: keyed fetch-and-stitch — reference does two queries + a Python
+# dict merge (api/log_sequences.py:95-148); ours is one join + ordered
+# group-collect ---------------------------------------------------------------
+def q_stitch_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    lines = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber"))),
+            lambda x: x["l_linenumber"].cast("string"),
+        ),
+        ",",
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(lines.alias("line_numbers"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+_J6_SQL = """
+SELECT o_orderkey,
+       string_agg(cast(l_linenumber AS varchar), ',' ORDER BY l_linenumber) AS line_numbers,
+       count(*) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey
+"""
+
+
+# --- P2/P4/P7: filters — label split, IN-list, min-length gate
+# (HDFS/data_process.py:108; api/log_lines.py:44-49; sample.py:25-26) --------
+def q_filter_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            (F.col("n_chars") >= 200)
+            & F.col("lang").isin("en", "de")
+            & F.col("source").isin("src0", "src1", "src2", "src3")
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+_P_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE n_chars >= 200 AND lang IN ('en','de') AND source IN ('src0','src1','src2','src3')
+"""
+
+
+# --- W1/D7: fixed-size sequence chunking (sample.py:21-55 fixed_window) ------
+def q_fixed_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    return (
+        words.groupBy("doc_id", F.floor(F.col("pos") / 32).cast("int").alias("chunk_id"))
+        .agg(F.count(F.lit(1)).alias("n_words"))
+    )
+
+
+_W1_SQL = """
+SELECT doc_id, cast((i - 1) // 32 AS int) AS chunk_id, count(*) AS n_words
+FROM (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+) GROUP BY 1, 2
+"""
+
+
+# --- W4: pagination window — LIMIT/OFFSET over ordered rows
+# (api/log_sequences.py:71-76) -------------------------------------------------
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(101, 200))
+        .select("rn", "o_orderkey", "o_totalprice")
+    )
+
+
+_W4_SQL = """
+SELECT rn, o_orderkey, o_totalprice FROM (
+  SELECT cast(row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey) AS int) AS rn,
+         o_orderkey, o_totalprice
+  FROM orders
+) WHERE rn BETWEEN 101 AND 200
+"""
+
+
+# --- top-K per group (predict_log.py:95-108 top-k candidates, lifted to the
+# relational shape) -------------------------------------------------------------
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+_TOPK_SQL = """
+SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         cast(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS int) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# --- W3: sort by length desc (predict_log.py:140-144) --------------------------
+def q_sort_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", "n_chars")
+    )
+
+
+_W3_SQL = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50
+"""
+
+
+# --- set ops: union + dedup (Drain.py:290-295 warm-start ∪ new, seen-set
+# dedup Drain.py:270-275) --------------------------------------------------------
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en").select("doc_id", "source")
+    b = docs.filter(F.col("n_chars") > 300).select("doc_id", "source")
+    return a.unionByName(b).dropDuplicates(["doc_id"]).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_UNION_SQL = """
+SELECT source, count(*) AS n_docs FROM (
+  SELECT DISTINCT ON (doc_id) doc_id, source FROM (
+    SELECT doc_id, source FROM documents WHERE lang = 'en'
+    UNION SELECT doc_id, source FROM documents WHERE n_chars > 300
+  ) ORDER BY doc_id
+) GROUP BY source
+"""
+
+
+# --- scalar regex/hash family: regexp_extract (Drain.py:553-562 findall),
+# regexp_replace preprocessing (Drain.py:507-510), md5-8 EventId
+# (Drain.py:209,236 — bit-exact in both engines) ---------------------------------
+def q_regex_hash_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("int").alias("k"),
+        F.regexp_replace(F.col("props"), r"\d+", "<*>").alias("props_template"),
+        F.substring(F.md5(F.col("event_type")), 1, 8).alias("type_hash8"),
+        F.upper(F.col("event_type")).alias("type_upper"),
+    )
+
+
+_REGEX_SQL = """
+SELECT event_id,
+       cast(regexp_extract(props, '"k": (\\d+)', 1) AS int) AS k,
+       regexp_replace(props, '\\d+', '<*>', 'g') AS props_template,
+       substr(md5(event_type), 1, 8) AS type_hash8,
+       upper(event_type) AS type_upper
+FROM events
+"""
+
+
+# --- D6/A7: vocab build — freq-sorted token enumeration with reserved
+# specials (vocab.py:51-57, 93-101: <pad>=0 <unk>=1 <eos>=2 <sos>=3 <mask>=4) ---
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
+        F.length("word") > 0
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) + F.lit(4)).cast("int")
+    )
+
+
+_VOCAB_SQL = """
+SELECT word, freq, cast(row_number() OVER (ORDER BY freq DESC, word) + 4 AS int) AS token_id
+FROM (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) > 0
+  GROUP BY word
+)
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "group_collect_ordered": q_group_collect_ordered,
+    "template_frequency": q_template_frequency,
+    "ranked_mapping": q_ranked_mapping,
+    "threshold_verdict": q_threshold_verdict,
+    "quantile_median": q_quantile_median,
+    "distinct_exact": q_distinct_exact,
+    "hll_distinct": q_hll_distinct,
+    "broadcast_join_revenue": q_broadcast_join_revenue,
+    "left_join_default": q_left_join_default,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "inner_join_count": q_inner_join_count,
+    "stitch_lines": q_stitch_lines,
+    "filter_pack": q_filter_pack,
+    "fixed_window_chunks": q_fixed_window_chunks,
+    "pagination": q_pagination,
+    "topk_per_group": q_topk_per_group,
+    "sort_by_length": q_sort_by_length,
+    "union_dedup": q_union_dedup,
+    "regex_hash_pack": q_regex_hash_pack,
+    "vocab_build": q_vocab_build,
+}
+
+ORACLES = {
+    "pricing_summary": _Q1_SQL,
+    "group_collect_ordered": _A1_SQL,
+    "template_frequency": _A2_SQL,
+    "ranked_mapping": _A3_SQL,
+    "threshold_verdict": _A456_SQL,
+    "quantile_median": _A10_SQL,
+    "distinct_exact": _A11_SQL,
+    # hll_distinct: approximate by design → rows-only check
+    "broadcast_join_revenue": _J1_SQL,
+    "left_join_default": _J2_SQL,
+    "anti_join": _J3_SQL,
+    "semi_join": _J4_SQL,
+    "inner_join_count": _J5_SQL,
+    "stitch_lines": _J6_SQL,
+    "filter_pack": _P_SQL,
+    "fixed_window_chunks": _W1_SQL,
+    "pagination": _W4_SQL,
+    "topk_per_group": _TOPK_SQL,
+    "sort_by_length": _W3_SQL,
+    "union_dedup": _UNION_SQL,
+    "regex_hash_pack": _REGEX_SQL,
+    "vocab_build": _VOCAB_SQL,
+}

@@ -1,0 +1,338 @@
+"""Text-analysis + deduplication pack over the `documents` table — the
+operations a large-scale training-data pipeline needs (token counting,
+quality scoring, language-ID heuristic, fingerprinting, exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH, SimHash).
+
+Everything scales as explode → hash-agg → (self-)join on tiny keys: the
+shuffles are on words/shingles/band-hashes, never on full documents, and the
+candidate-verify pattern keeps the quadratic step bounded to LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_anomaly_detector_spark.functions.text_funcs import (
+    EN_STOPWORDS,
+    fingerprint,
+    normalized,
+    stopword_count,
+    words,
+)
+from log_anomaly_detector_spark.operators.relational import t
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+
+
+# --- token counting: whitespace + a BPE-ish regex tokenizer ------------------
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(words(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0)).alias(
+            "n_re_tokens"
+        ),
+        F.col("n_chars"),
+    )
+
+
+_TOKCOUNT_SQL = r"""
+SELECT doc_id,
+       cast(len(string_split_regex(trim(text), ' +')) AS int) AS n_ws_tokens,
+       cast(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS int) AS n_re_tokens,
+       n_chars
+FROM documents
+"""
+
+
+# --- quality scoring: length / stopword / word-length features --------------
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n_words = F.size(ws)
+    # quality is computed from the UNROUNDED ratio: rounding first can land
+    # the combined score on an exact decimal half, where Spark (half-up) and
+    # DuckDB (half-even) disagree at the last digit.
+    raw_stop = stopword_count(ws) / n_words
+    stop_ratio = F.round(raw_stop, 6)
+    avg_wlen = F.round(
+        (F.col("n_chars") - (n_words - 1)) / n_words, 6
+    )  # single-space-separated text
+    score = F.round(raw_stop * 0.5 + F.least(n_words / 200.0, F.lit(1.0)) * 0.5, 6)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        avg_wlen.alias("avg_word_len"),
+        score.alias("quality"),
+        F.when(score >= 0.3, F.lit("keep")).otherwise(F.lit("drop")).alias("bucket"),
+    )
+
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+       cast(len(string_split_regex(trim(text), ' +')) AS int) AS n_words,
+       round(len(list_filter(string_split_regex(trim(text), ' +'),
+                             w -> w IN ({_STOP_SQL})))
+             / len(string_split_regex(trim(text), ' +')), 6) AS stop_ratio,
+       round((n_chars - (len(string_split_regex(trim(text), ' +')) - 1))
+             / len(string_split_regex(trim(text), ' +')), 6) AS avg_word_len,
+       round(len(list_filter(string_split_regex(trim(text), ' +'),
+                             w -> w IN ({_STOP_SQL})))
+             / len(string_split_regex(trim(text), ' +')) * 0.5
+             + least(len(string_split_regex(trim(text), ' +')) / 200.0, 1.0) * 0.5,
+             6) AS quality,
+       CASE WHEN round(len(list_filter(string_split_regex(trim(text), ' +'),
+                                       w -> w IN ({_STOP_SQL})))
+                       / len(string_split_regex(trim(text), ' +')) * 0.5
+                       + least(len(string_split_regex(trim(text), ' +')) / 200.0, 1.0) * 0.5,
+                       6) >= 0.3
+            THEN 'keep' ELSE 'drop' END AS bucket
+FROM documents
+"""
+
+
+# --- language-ID heuristic (n-gram/stopword hits) ----------------------------
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    hits = stopword_count(ws)
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits.alias("en_stopword_hits"),
+        F.when(hits >= 3, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+_LANGID_SQL = f"""
+SELECT doc_id, lang,
+       cast(len(list_filter(string_split_regex(trim(text), ' +'),
+                            w -> w IN ({_STOP_SQL}))) AS int) AS en_stopword_hits,
+       CASE WHEN len(list_filter(string_split_regex(trim(text), ' +'),
+                                 w -> w IN ({_STOP_SQL}))) >= 3
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+"""
+
+
+# --- document fingerprint + exact dedup (hash-groupBy) ------------------------
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+_FP_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup on a 5-word prefix fingerprint: hash → groupBy →
+    having count > 1 (the scalable exact-dedup shape: one shuffle on the
+    hash, never on document text)."""
+    docs = t(spark, sf_dir, "documents")
+    pfx = F.md5(F.array_join(F.slice(words(F.col("text")), 1, 5), " "))
+    return (
+        docs.select("doc_id", pfx.alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_EXACTDUP_SQL = """
+SELECT prefix_fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(string_split_regex(trim(text), ' +'), 1, 5), ' ')) AS prefix_fp
+  FROM documents
+)
+GROUP BY prefix_fp HAVING count(*) > 1
+"""
+
+
+# --- n-gram (3-word shingle) Jaccard near-dup: shingle → explode →
+# self-join on shingle → intersection counts → |A∪B| from sizes. Never a
+# doc×doc cross join: the shuffle key is the shingle, and since real shingles
+# are near-unique the join output is ~only the true near-dup pairs. -----------
+def shingles(text_col) -> "F.Column":
+    """Distinct 3-word shingles (whole doc if < 3 words)."""
+    w = words(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, 3), " "),
+        )
+    )
+
+
+def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.7)
+    )
+
+
+_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(trim(text), ' +')) - 2, 1) + 1),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), ' +'), i, i + 2), ' ')
+         ))) AS sh
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM toks a JOIN toks b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.7
+"""
+
+
+# --- MinHash + LSH near-dup (shingle → minhash → band → bucket-join) ----------
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>) — min over xxhash64(shingle, k) per k.
+    One explode + one hash-agg; zero Python."""
+    toks = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("w"))
+    mins = [
+        F.min(F.xxhash64(F.col("w"), F.lit(k))).alias(f"h{k}") for k in range(N_HASHES)
+    ]
+    sig = toks.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{k}") for k in range(N_HASHES)]).alias("sig")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs verified by signature similarity. Approximate by
+    design → rows-only driver check (no SQL oracle); determinism comes from
+    xxhash64. Scale shape: band-hash shuffle + per-bucket pairing only."""
+    docs = t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(N_HASHES)),
+        6,
+    )
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+# --- SimHash (16-bit) bucketing ------------------------------------------------
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-bit SimHash per doc: per-word hash bit votes summed
+    JVM-side (16 conditional aggregates), assembled into an int. Rows-only
+    (xxhash64 has no DuckDB equivalent)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w")).withColumn(
+        "h", F.xxhash64("w")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("int").alias("simhash16"))
+
+
+QUERIES = {
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "langid": q_langid,
+    "doc_fingerprint": q_fingerprint,
+    "exact_dup_groups": q_exact_dup_groups,
+    "jaccard_near_dup": q_jaccard_near_dup,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+}
+
+ORACLES = {
+    "token_count": _TOKCOUNT_SQL,
+    "quality_score": _QUALITY_SQL,
+    "langid": _LANGID_SQL,
+    "doc_fingerprint": _FP_SQL,
+    "exact_dup_groups": _EXACTDUP_SQL,
+    "jaccard_near_dup": _JACCARD_SQL,
+    # minhash_lsh_pairs, simhash: xxhash64-based → rows-only checks
+}

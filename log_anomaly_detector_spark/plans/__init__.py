@@ -1,0 +1,8 @@
+"""Plan inspection utilities — Catalyst IS the planner; this module only
+*audits* the physical plans it produces (pushdown, pruning, join strategy,
+codegen spans)."""
+
+from log_anomaly_detector_spark.plans.inspect import (  # noqa: F401
+    formatted_plan,
+    plan_facts,
+)

@@ -1,0 +1,69 @@
+"""Operator-level correctness: every queries() entry vs its DuckDB oracle at
+sf0.001 (the driver runs the same gate at sf0.01), plus plan-shape audits."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from log_anomaly_detector_spark.oracle_check import compare_one, duck_connection
+from log_anomaly_detector_spark.operators.relational import (
+    q_broadcast_join_revenue,
+    q_filter_pack,
+    q_pricing_summary,
+)
+from log_anomaly_detector_spark.plans import plan_facts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duck_connection(SF_DIR)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(spark, duck, name):
+    problems = compare_one(
+        spark, duck, name, QUERIES[name], ORACLES.get(name), SF_DIR
+    )
+    assert problems == [], problems
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty_c" in df.columns
+
+
+def test_every_query_has_oracle_or_is_approximate():
+    rows_only = set(QUERIES) - set(ORACLES)
+    # only genuinely non-SQL-expressible ops may omit the oracle
+    assert rows_only == {
+        "hll_distinct",        # HLL++ approximate
+        "minhash_lsh_pairs",   # xxhash64-seeded
+        "simhash",             # xxhash64-seeded
+        "ann_lsh",             # approximate recall
+        "mm_features",         # stubbed decoder
+    }
+
+
+# --- plan-shape audits: not just correct, the plan we WANT ------------------
+def test_filter_pushdown(spark):
+    facts = plan_facts(q_filter_pack(spark, SF_DIR))
+    assert facts["pushed_filters"], "filters must reach the parquet scan"
+
+
+def test_broadcast_join_selected(spark):
+    facts = plan_facts(q_broadcast_join_revenue(spark, SF_DIR))
+    assert facts["broadcast_join"], "dimension join must be broadcast"
+
+
+def test_agg_is_codegen(spark):
+    facts = plan_facts(q_pricing_summary(spark, SF_DIR), execute=True)
+    assert facts["codegen_stages"] >= 1
+    assert facts["partial_agg"]

@@ -1,0 +1,91 @@
+"""Sources (raw-log regex scan, sequence file) + Structured Streaming
+micro-batch validation."""
+
+from __future__ import annotations
+
+import os
+
+from log_anomaly_detector_spark.datagen import (
+    GenSpec,
+    gen_allowed_sources,
+    gen_sequences,
+)
+from log_anomaly_detector_spark.sources import (
+    generate_logformat_regex,
+    read_sequence_file,
+    read_structured_logs,
+)
+from log_anomaly_detector_spark.streaming import validate_stream
+
+LOG_LINES = [
+    "081109 203615 148 INFO dfs.DataNode$PacketResponder: "
+    "PacketResponder 1 for block blk_38865049064139660 terminating",
+    "081109 203807 222 INFO dfs.DataNode$PacketResponder: "
+    "Received block blk_-1608999687919862906 of size 91178 from /10.250.10.6",
+    "this line does not match the format",
+]
+
+
+def test_logformat_regex():
+    headers, pattern = generate_logformat_regex(
+        "<Date> <Time> <Pid> <Level> <Component>: <Content>"
+    )
+    assert headers == ["Date", "Time", "Pid", "Level", "Component", "Content"]
+    import re
+
+    m = re.match(pattern, LOG_LINES[0])
+    assert m and m.group(1) == "081109" and m.group(5) == "dfs.DataNode$PacketResponder"
+
+
+def test_read_structured_logs(spark, tmp_path):
+    p = tmp_path / "raw.log"
+    p.write_text("\n".join(LOG_LINES) + "\n")
+    df = read_structured_logs(spark, str(p)).cache()
+    parsed = df.filter("_parsed")
+    assert parsed.count() == 2
+    rows = {r["Date"]: r for r in parsed.collect()}
+    r = rows["081109"]
+    assert r["Level"] == "INFO"
+    assert len(r["EventId"]) == 8
+    assert "<*>" in df.filter("_parsed").collect()[1]["EventTemplate"]
+    blocks = sorted(
+        b for row in parsed.collect() for b in row["BlockIds"]
+    )
+    assert blocks == ["blk_-1608999687919862906", "blk_38865049064139660"]
+    assert df.filter("NOT _parsed").count() == 1
+
+
+def test_read_sequence_file(spark, tmp_path):
+    p = tmp_path / "seq.txt"
+    p.write_text("1 2 3\n10 20\n\n7\n")
+    df = read_sequence_file(spark, str(p))
+    toks = sorted(tuple(r["tokens"]) for r in df.collect())
+    assert toks == [(1, 2, 3), (7,), (10, 20)]
+
+
+def test_streaming_validation(spark, tmp_path):
+    spec = GenSpec(n_docs=2_000, n_parts=4, seed=3)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    seqs = gen_sequences(spark, spec)
+    seqs.write.mode("overwrite").parquet(in_dir)
+    allowed = gen_allowed_sources(spark)
+
+    q = validate_stream(spark, in_dir, out_dir, allowed)
+    assert q.lastProgress is not None
+
+    viol = spark.read.parquet(os.path.join(out_dir, "violations_stream"))
+    got = {r["rule_id"] for r in viol.select("rule_id").distinct().collect()}
+    assert got == {"n_tok_consistency", "referential"}
+    # batch output equals the batch-mode rule output
+    from log_anomaly_detector_spark.rules.row_invariants import (
+        ntok_consistency_violations,
+        referential_violations,
+    )
+
+    batch = (
+        ntok_consistency_violations(seqs)
+        .unionByName(referential_violations(seqs, allowed))
+        .count()
+    )
+    assert viol.count() == batch
