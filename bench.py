@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Per-round benchmark. Prints ONE JSON line:
+
+{"metric": "...", "value": <validated seqs/sec>, "unit": "seqs/sec",
+ "queries": {<name>: sec, ...}, "sf": <sf>, ...}
+
+Two parts:
+1. the validation engine's headline throughput — full rule suite over a
+   deterministic synthetic sequence table (bucketed layout), warm-measured
+   (one warmup pass, then the timed pass on a cold manifest);
+2. per-query wall times for the headline operator queries over
+   ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), each materialized
+   with a noop write.
+
+Scaling-efficiency evidence (local[N] vs local[4N]) is produced separately by
+``tools/bench_scaling.py`` → BENCH/BASELINE.md (it needs a larger input and
+two JVMs, too heavy to repeat every round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "group_collect_ordered",
+    "broadcast_join_revenue",
+    "stitch_lines",
+    "topk_per_group",
+    "fixed_window_chunks",
+    "vocab_build",
+    "threshold_verdict",
+    "token_count",
+    "quality_score",
+    "exact_dup_groups",
+    "jaccard_near_dup",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "binary_meta",
+]
+
+ENGINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+ENGINE_PARTS = 32
+
+
+def bench_engine(spark) -> dict:
+    from log_anomaly_detector_spark import storage
+    from log_anomaly_detector_spark.config import RuleConfig
+    from log_anomaly_detector_spark.datagen import (
+        GenSpec,
+        gen_allowed_sources,
+        gen_baseline_profile,
+        gen_reference_snapshot,
+        gen_sequences,
+    )
+    from log_anomaly_detector_spark.engine import run_validation
+
+    cfg = RuleConfig(uniqueness_mode="direct")
+    spec = GenSpec(n_docs=ENGINE_DOCS, n_parts=ENGINE_PARTS, seed=42)
+    cache = f"/tmp/lad_bench_cache_{spec.n_docs}_{spec.n_parts}_{spec.seed}"
+    if not os.path.isdir(os.path.join(cache, "sequences_bucketed")):
+        storage.write_bucketed(
+            gen_sequences(spark, spec), "bench_seqs",
+            os.path.join(cache, "sequences_bucketed"), partition_col="part_id",
+        )
+        storage.write_bucketed(
+            gen_reference_snapshot(spark, spec), "bench_snap",
+            os.path.join(cache, "snapshot_bucketed"),
+        )
+        gen_allowed_sources(spark).write.mode("overwrite").parquet(
+            os.path.join(cache, "allowed_sources.parquet")
+        )
+        with open(os.path.join(cache, "baseline.json"), "w") as f:
+            json.dump(gen_baseline_profile(spark, spec, cfg), f)
+
+    seqs = storage.register_bucketed(
+        spark, "bench_sequences", storage.SEQ_DDL,
+        os.path.join(cache, "sequences_bucketed"), partition_col="part_id",
+    )
+    snap = storage.register_bucketed(
+        spark, "bench_snapshot", storage.SNAP_DDL,
+        os.path.join(cache, "snapshot_bucketed"),
+    )
+    allowed = spark.read.parquet(os.path.join(cache, "allowed_sources.parquet"))
+    with open(os.path.join(cache, "baseline.json")) as f:
+        baseline = json.load(f)
+
+    out: dict = {}
+    for phase in ("warmup", "measured"):
+        run_dir = tempfile.mkdtemp(prefix=f"lad_bench_{phase}_")
+        res = run_validation(
+            spark, seqs, snap, allowed, baseline, run_dir, cfg,
+            input_digest="bench",
+        )
+        if phase == "measured":
+            out = {
+                "engine_rows": res.metrics["rows_validated"],
+                "engine_wall_sec": res.metrics["wall_sec"],
+                "engine_rows_per_sec": res.metrics["rows_per_sec"],
+                "engine_job_secs": res.metrics["job_secs"],
+                "engine_anomalies": sorted(
+                    v["part_id"] for v in res.verdicts if v["label"] == "Anomaly"
+                ),
+            }
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return out
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from log_anomaly_detector_spark.operators import all_queries
+
+    qs = all_queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm plans + cache
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> int:
+    from log_anomaly_detector_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    engine = bench_engine(spark)
+    queries = bench_queries(spark, sf_dir)
+
+    result = {
+        "metric": (
+            "validated sequences/sec (full rule suite, bucketed layout, warm) "
+            "+ per-query wall secs on testdata"
+        ),
+        "value": engine["engine_rows_per_sec"],
+        "unit": "seqs/sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "engine": engine,
+        "config": {
+            "engine_docs": ENGINE_DOCS,
+            "engine_parts": ENGINE_PARTS,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        },
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

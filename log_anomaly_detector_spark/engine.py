@@ -34,10 +34,7 @@ from log_anomaly_detector_spark.config import DEFAULT_CONFIG, RuleConfig
 from log_anomaly_detector_spark import storage
 from log_anomaly_detector_spark.rules.column_stats import stats_pass, stats_verdicts
 from log_anomaly_detector_spark.rules.drift import drift_verdicts
-from log_anomaly_detector_spark.rules.row_invariants import (
-    ntok_consistency_violations,
-    referential_violations,
-)
+from log_anomaly_detector_spark.rules.row_invariants import row_expr_violations
 from log_anomaly_detector_spark.rules.token_equality import token_equality_violations
 from log_anomaly_detector_spark.rules.uniqueness import uniqueness_violations
 
@@ -63,10 +60,9 @@ def _row_rule_violations(
     seqs: DataFrame, snapshot: DataFrame, allowed: DataFrame, cfg: RuleConfig
 ) -> DataFrame:
     return (
-        ntok_consistency_violations(seqs)
-        .unionByName(referential_violations(seqs, allowed))
+        row_expr_violations(seqs, allowed)  # n_tok consistency + referential, 1 scan
         .unionByName(uniqueness_violations(seqs, cfg))
-        .unionByName(token_equality_violations(seqs, snapshot))
+        .unionByName(token_equality_violations(seqs, snapshot, cfg.token_eq_mode))
     )
 
 
@@ -109,6 +105,7 @@ def run_validation(
     verd_path = os.path.join(out_dir, "verdicts")
     total_rows = 0
 
+    job_secs: dict[str, float] = {"stats": 0.0, "violations": 0.0, "agg": 0.0}
     for batch in batches:
         t0 = time.time()
         # partition pruning: on Iceberg/hive layouts this filter prunes files
@@ -117,24 +114,37 @@ def run_validation(
         # job 1: the single stats scan
         stats_rows = [r.asDict() for r in stats_pass(sub, cfg, sources).collect()]
         stats_by_part = {r["part_id"]: r for r in stats_rows}
+        job_secs["stats"] += time.time() - t0
 
         # job 2: row rules → violations table (delete+insert, idempotent)
+        t1 = time.time()
         viol = _row_rule_violations(sub, snapshot, allowed, cfg)
-        storage.overwrite_partitions(viol, viol_path, batch)
+        # violations are tiny — coalesce the writers so each partition dir
+        # gets one file instead of one per upstream task
+        storage.overwrite_partitions(viol.repartition("part_id"), viol_path, batch)
+        job_secs["violations"] += time.time() - t1
+        t2 = time.time()
 
-        # job 3: tiny agg over written violations
+        # job 3: ONE rollup agg over written violations gives both the
+        # per-(part, rule) doc counts and the per-part "any rule" doc count
         written = storage.read_table(spark, viol_path)
         vio_stats = (
             written.filter(F.col("part_id").isin([int(p) for p in batch]))
-            .groupBy("part_id", "rule_id")
+            .rollup("part_id", "rule_id")
             .agg(F.countDistinct("doc_id").alias("docs"))
+            .filter(F.col("part_id").isNotNull())
             .collect()
             if written is not None
             else []
         )
-        docs_by_part_rule: dict[tuple[int, str], int] = {
-            (r["part_id"], r["rule_id"]): r["docs"] for r in vio_stats
-        }
+        docs_by_part_rule: dict[tuple[int, str], int] = {}
+        any_docs: dict[int, int] = {}
+        for r in vio_stats:
+            if r["rule_id"] is None:
+                any_docs[r["part_id"]] = r["docs"]
+            else:
+                docs_by_part_rule[(r["part_id"], r["rule_id"])] = r["docs"]
+        job_secs["agg"] += time.time() - t2
 
         # verdict assembly (driver-side, O(partitions))
         rule_rows = stats_verdicts(stats_rows, cfg)
@@ -154,21 +164,6 @@ def run_validation(
                         "threshold": 0.0,
                     }
                 )
-
-        # distinct docs with ANY row-scope violation (score numerator)
-        any_docs = (
-            {
-                r["part_id"]: r["docs"]
-                for r in written.filter(
-                    F.col("part_id").isin([int(p) for p in batch])
-                )
-                .groupBy("part_id")
-                .agg(F.countDistinct("doc_id").alias("docs"))
-                .collect()
-            }
-            if written is not None
-            else {}
-        )
 
         batch_rule_rows = [r for r in rule_rows if r["part_id"] in set(batch)]
         wall = time.time() - t0
@@ -248,5 +243,6 @@ def run_validation(
         "rows_validated": total_rows,
         "wall_sec": round(wall_all, 3),
         "rows_per_sec": round(total_rows / wall_all, 1) if wall_all else None,
+        "job_secs": {k: round(v, 3) for k, v in job_secs.items()},
     }
     return result

@@ -31,6 +31,47 @@ def ntok_consistency_violations(df: DataFrame) -> DataFrame:
     )
 
 
+def row_expr_violations(df: DataFrame, allowed: DataFrame) -> DataFrame:
+    """BOTH shuffle-free row rules in ONE scan: a broadcast left join marks
+    dimension membership, then an array-of-optional-structs is exploded into
+    violation rows. At 10^12 rows this halves the scan cost vs evaluating the
+    rules separately; output and semantics are identical to the individual
+    functions (asserted in tests)."""
+    marked = df.join(
+        F.broadcast(allowed.select("source", F.lit(True).alias("_in_dim"))),
+        "source",
+        "left",
+    )
+    ntok_v = F.when(
+        ~(F.col("n_tok") == F.size("tokens")),
+        F.struct(
+            F.lit("n_tok_consistency").alias("rule_id"),
+            F.concat(F.lit("n_tok="), F.col("n_tok").cast("string")).alias("observed"),
+            F.concat(F.lit("size(tokens)="), F.size("tokens").cast("string")).alias(
+                "expected"
+            ),
+        ),
+    )
+    ref_v = F.when(
+        F.col("source").isNotNull() & F.col("_in_dim").isNull(),
+        F.struct(
+            F.lit("referential").alias("rule_id"),
+            F.col("source").alias("observed"),
+            F.lit("member of allowed_sources").alias("expected"),
+        ),
+    )
+    return (
+        marked.select(
+            "part_id",
+            "doc_id",
+            F.explode(
+                F.filter(F.array(ntok_v, ref_v), lambda v: v.isNotNull())
+            ).alias("v"),
+        )
+        .select("part_id", "doc_id", "v.rule_id", "v.observed", "v.expected")
+    )
+
+
 def referential_violations(df: DataFrame, allowed: DataFrame) -> DataFrame:
     """Broadcast LEFT ANTI join: rows whose non-null source is not in the
     dimension. NULL sources are a null-rate matter (R1), not referential."""

@@ -100,29 +100,61 @@ def first_mismatch(a: pd.Series, b: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"idx": out_idx, "obs": out_obs, "exp": out_exp})
 
 
-def token_equality_violations(df: DataFrame, snapshot: DataFrame) -> DataFrame:
+def token_equality_violations(
+    df: DataFrame, snapshot: DataFrame, mode: str = "hash"
+) -> DataFrame:
     """Join sequences to the snapshot on doc_id and emit one violation row per
     matched row whose token array differs (first mismatch index + values).
 
     Unmatched rows are skipped, mirroring the reference's treatment of
     unmapped events (``api/detect_anomaly_sequence.py:84-85``).
+
+    Modes (all agree — asserted in tests):
+
+    * ``"hash"`` (default, the 10^12-row shape): the equality decision joins
+      16-byte ``xxhash64(tokens)`` signatures instead of shuffling the token
+      arrays themselves — the doc_id shuffle moves ~24 B/row rather than the
+      full payload. The (normally vanishing) mismatch set is then joined back
+      to both tables (AQE broadcasts it) and the Arrow UDF locates the first
+      differing slot. Signature collisions masking a real mismatch have
+      probability ~2^-64 per row.
+    * ``"prefilter"``: arrays shuffle, equality decided JVM-side
+      (``NOT tokens <=> ref_tokens``) in codegen, UDF on mismatches only.
+    * ``"arrow"``: every joined row goes through the vectorized UDF.
     """
-    joined = df.select("part_id", "doc_id", "tokens").join(
-        snapshot.select("doc_id", "ref_tokens"), "doc_id", "inner"
-    )
+    detail_cols = [
+        "part_id",
+        "doc_id",
+        F.lit("token_equality").alias("rule_id"),
+        F.concat(
+            F.lit("tokens["),
+            F.col("m.idx").cast("string"),
+            F.lit("]="),
+            F.col("m.obs").cast("string"),
+        ).alias("observed"),
+        F.concat(F.lit("ref="), F.col("m.exp").cast("string")).alias("expected"),
+    ]
+    if mode == "hash":
+        sig_a = df.select("doc_id", F.xxhash64("tokens").alias("_ha"))
+        sig_b = snapshot.select("doc_id", F.xxhash64("ref_tokens").alias("_hb"))
+        cand = (
+            sig_a.join(sig_b, "doc_id", "inner")
+            .filter(F.col("_ha") != F.col("_hb"))
+            .select("doc_id")
+        )
+        joined = (
+            df.select("part_id", "doc_id", "tokens")
+            .join(cand, "doc_id", "inner")  # tiny build side → AQE broadcast
+            .join(snapshot.select("doc_id", "ref_tokens"), "doc_id", "inner")
+        )
+    else:
+        joined = df.select("part_id", "doc_id", "tokens").join(
+            snapshot.select("doc_id", "ref_tokens"), "doc_id", "inner"
+        )
+        if mode == "prefilter":
+            joined = joined.filter(~F.col("tokens").eqNullSafe(F.col("ref_tokens")))
     return (
         joined.withColumn("m", first_mismatch(F.col("tokens"), F.col("ref_tokens")))
         .filter(F.col("m.idx") >= 0)
-        .select(
-            "part_id",
-            "doc_id",
-            F.lit("token_equality").alias("rule_id"),
-            F.concat(
-                F.lit("tokens["),
-                F.col("m.idx").cast("string"),
-                F.lit("]="),
-                F.col("m.obs").cast("string"),
-            ).alias("observed"),
-            F.concat(F.lit("ref="), F.col("m.exp").cast("string")).alias("expected"),
-        )
+        .select(*detail_cols)
     )

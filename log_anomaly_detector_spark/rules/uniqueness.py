@@ -28,7 +28,18 @@ from log_anomaly_detector_spark.config import RuleConfig
 
 
 def duplicate_keys(df: DataFrame, cfg: RuleConfig) -> DataFrame:
-    """(doc_id, dup_cnt) for every doc_id appearing more than once."""
+    """(doc_id, dup_cnt) for every doc_id appearing more than once.
+
+    ``direct`` mode is a plain groupBy — when the input table is bucketed by
+    doc_id Catalyst plans it with NO exchange at all; ``salted`` (default) is
+    the layout-agnostic two-phase variant described in the module docstring.
+    """
+    if cfg.uniqueness_mode == "direct":
+        return (
+            df.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("dup_cnt"))
+            .filter(F.col("dup_cnt") > 1)
+        )
     salt = F.pmod(F.spark_partition_id(), F.lit(cfg.uniqueness_salt_buckets)).alias(
         "salt"
     )

@@ -40,6 +40,50 @@ def read_table(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
+# --- bucketed tables (the Iceberg bucket-transform analogue) ---------------
+#
+# Both big tables bucketed by doc_id makes the snapshot join and the
+# uniqueness aggregation SHUFFLE-FREE (storage-co-located). Bucket metadata
+# lives in the session catalog, so a fresh session re-registers the existing
+# files with CREATE TABLE ... CLUSTERED BY ... LOCATION.
+
+SEQ_DDL = "doc_id string, tokens array<int>, n_tok int, source string, part_id int"
+SNAP_DDL = "doc_id string, ref_tokens array<int>"
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    location: str,
+    n_buckets: int = 32,
+    partition_col: str | None = None,
+) -> None:
+    w = df.write.option("path", location).mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.bucketBy(n_buckets, "doc_id").sortBy("doc_id").saveAsTable(name)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    name: str,
+    ddl_cols: str,
+    location: str,
+    n_buckets: int = 32,
+    partition_col: str | None = None,
+) -> DataFrame:
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    part = f"PARTITIONED BY ({partition_col})" if partition_col else ""
+    spark.sql(
+        f"CREATE TABLE {name} ({ddl_cols}) USING PARQUET {part} "
+        f"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+    if partition_col:
+        spark.sql(f"MSCK REPAIR TABLE {name}")
+    return spark.table(name)
+
+
 # --- manifest (per-partition completion checkpoint, R10) ------------------
 
 

@@ -37,6 +37,13 @@ def main() -> int:
     ap.add_argument("--n-parts", type=int, default=32)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--batch-parts", type=int, default=None)
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run the full suite once into a throwaway dir first (JIT/codegen "
+        "warm), then measure — for benchmarking",
+    )
     ap.add_argument("--seq-threshold", type=float, default=None)
     args = ap.parse_args()
 
@@ -58,14 +65,26 @@ def main() -> int:
     spark = get_spark("lad-validation", master=args.master)
     spec = GenSpec(n_docs=args.n_docs, n_parts=args.n_parts, seed=args.seed)
 
+    from log_anomaly_detector_spark import storage
+
     if args.materialize:
         d = args.materialize
         t0 = time.time()
-        gen_sequences(spark, spec).write.mode("overwrite").partitionBy(
-            "part_id"
-        ).parquet(os.path.join(d, "sequences"))
-        gen_reference_snapshot(spark, spec).write.mode("overwrite").parquet(
-            os.path.join(d, "snapshot")
+        # primary layout: partitioned by part_id (pruning/resume) AND bucketed
+        # by doc_id (shuffle-free snapshot join + uniqueness) — the local
+        # analogue of Iceberg `identity(part_id)` + `bucket(N, doc_id)`.
+        storage.write_bucketed(
+            gen_sequences(spark, spec),
+            "mat_sequences",
+            os.path.join(d, "sequences_bucketed"),
+            n_buckets=args.n_buckets,
+            partition_col="part_id",
+        )
+        storage.write_bucketed(
+            gen_reference_snapshot(spark, spec),
+            "mat_snapshot",
+            os.path.join(d, "snapshot_bucketed"),
+            n_buckets=args.n_buckets,
         )
         gen_allowed_sources(spark).write.mode("overwrite").parquet(
             os.path.join(d, "allowed_sources.parquet")
@@ -84,8 +103,23 @@ def main() -> int:
 
     if args.data_dir:
         d = args.data_dir
-        seqs = spark.read.parquet(os.path.join(d, "sequences"))
-        snap = spark.read.parquet(os.path.join(d, "snapshot"))
+        if os.path.isdir(os.path.join(d, "sequences_bucketed")):
+            seqs = storage.register_bucketed(
+                spark, "sequences", storage.SEQ_DDL,
+                os.path.join(d, "sequences_bucketed"),
+                n_buckets=args.n_buckets, partition_col="part_id",
+            )
+            snap = storage.register_bucketed(
+                spark, "snapshot", storage.SNAP_DDL,
+                os.path.join(d, "snapshot_bucketed"), n_buckets=args.n_buckets,
+            )
+            # co-partitioned input → the zero-shuffle uniqueness variant
+            cfg = RuleConfig(
+                seq_threshold=cfg.seq_threshold, uniqueness_mode="direct"
+            )
+        else:  # plain parquet layout
+            seqs = spark.read.parquet(os.path.join(d, "sequences"))
+            snap = spark.read.parquet(os.path.join(d, "snapshot"))
         allowed = spark.read.parquet(os.path.join(d, "allowed_sources.parquet"))
         with open(os.path.join(d, "baseline.json")) as f:
             baseline = json.load(f)
@@ -96,6 +130,17 @@ def main() -> int:
         allowed = gen_allowed_sources(spark)
         baseline = gen_baseline_profile(spark, spec, cfg)
         input_digest = f"gen:{spec}"
+
+    if args.warmup:
+        import shutil
+        import tempfile
+
+        wdir = tempfile.mkdtemp(prefix="lad_warmup_")
+        run_validation(
+            spark, seqs, snap, allowed, baseline, wdir, cfg,
+            input_digest=input_digest,
+        )
+        shutil.rmtree(wdir, ignore_errors=True)
 
     res = run_validation(
         spark,

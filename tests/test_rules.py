@@ -98,6 +98,47 @@ def test_token_equality_udf_vs_sql(spark):
         assert r["sql_neq"] == r["udf_neq"], r
 
 
+def test_row_expr_combined_pass_equivalent(spark):
+    """The single-scan combined pass must equal the two individual rules."""
+    from log_anomaly_detector_spark.datagen import (
+        GenSpec,
+        gen_allowed_sources,
+        gen_sequences,
+    )
+    from log_anomaly_detector_spark.rules.row_invariants import row_expr_violations
+
+    spec = GenSpec(n_docs=3_000, n_parts=4, seed=11)
+    seqs = gen_sequences(spark, spec)
+    allowed = gen_allowed_sources(spark)
+    combined = {
+        tuple(r) for r in row_expr_violations(seqs, allowed).collect()
+    }
+    separate = {
+        tuple(r)
+        for r in ntok_consistency_violations(seqs)
+        .unionByName(referential_violations(seqs, allowed))
+        .collect()
+    }
+    assert combined == separate and combined
+
+
+def test_token_equality_prefilter_equivalent(spark):
+    """JVM-prefiltered mode must equal the all-rows-through-Arrow mode."""
+    from log_anomaly_detector_spark.datagen import (
+        GenSpec,
+        gen_reference_snapshot,
+        gen_sequences,
+    )
+
+    spec = GenSpec(n_docs=3_000, n_parts=4, seed=11)
+    seqs = gen_sequences(spark, spec)
+    snap = gen_reference_snapshot(spark, spec)
+    hashm = {tuple(r) for r in token_equality_violations(seqs, snap, "hash").collect()}
+    pre = {tuple(r) for r in token_equality_violations(seqs, snap, "prefilter").collect()}
+    arrow = {tuple(r) for r in token_equality_violations(seqs, snap, "arrow").collect()}
+    assert hashm == pre == arrow and hashm
+
+
 def test_drift_stats_math():
     p = np.array([10.0, 20, 30, 40])
     q = np.array([10.0, 20, 30, 40])
