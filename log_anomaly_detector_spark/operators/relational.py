@@ -494,8 +494,70 @@ FROM (
 """
 
 
+# --- D6/to_seq: map words → vocab ids with <unk>=1, append <eos>=2, truncate
+# to seq_len, pad with <pad>=0 (bert_pytorch/dataset/vocab.py:93-101 specials,
+# 134-154 to_seq). Vocabulary = top-20 words by frequency (broadcast join;
+# never a Python dict lookup UDF). ------------------------------------------
+SEQ_LEN = 16
+TOP_WORDS = 20
+
+
+def q_to_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    wv = Window.orderBy(F.desc("freq"), F.asc("word"))
+    vocab = counts.withColumn(
+        "token_id", (F.row_number().over(wv) + F.lit(4)).cast("int")
+    ).filter(F.col("token_id") < 5 + TOP_WORDS)
+    mapped = words.join(F.broadcast(vocab.select("word", "token_id")), "word", "left")
+    ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+        lambda x: F.coalesce(x["token_id"], F.lit(1)),  # <unk>=1
+    )
+    seq = F.concat(F.slice(ids, 1, SEQ_LEN - 1), F.array(F.lit(2)))  # <eos>=2
+    padded = F.concat(
+        seq, F.array_repeat(F.lit(0), F.lit(SEQ_LEN) - F.size(seq))  # <pad>=0
+    )
+    return mapped.groupBy("doc_id").agg(
+        F.array_join(padded, " ").alias("token_seq"),
+        F.size(ids).alias("n_raw_tokens"),
+    )
+
+
+_TOSEQ_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, cast(row_number() OVER (ORDER BY count(*) DESC, word) + 4 AS int) AS token_id
+  FROM w GROUP BY word
+  QUALIFY token_id < 5 + {TOP_WORDS}
+), mapped AS (
+  SELECT w.doc_id, w.pos, coalesce(v.token_id, 1) AS tid
+  FROM w LEFT JOIN vocab v USING (word)
+), seqs AS (
+  SELECT doc_id, list(tid ORDER BY pos) AS ids FROM mapped GROUP BY doc_id
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(range(1, {SEQ_LEN} + 1),
+           i -> CASE WHEN i <= len(list_concat(ids[1:{SEQ_LEN - 1}], [2]))
+                     THEN list_concat(ids[1:{SEQ_LEN - 1}], [2])[i]
+                     ELSE 0 END),
+         ' ') AS token_seq,
+       cast(len(ids) AS int) AS n_raw_tokens
+FROM seqs
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "to_seq": q_to_seq,
     "group_collect_ordered": q_group_collect_ordered,
     "template_frequency": q_template_frequency,
     "ranked_mapping": q_ranked_mapping,
@@ -521,6 +583,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": _Q1_SQL,
+    "to_seq": _TOSEQ_SQL,
     "group_collect_ordered": _A1_SQL,
     "template_frequency": _A2_SQL,
     "ranked_mapping": _A3_SQL,
