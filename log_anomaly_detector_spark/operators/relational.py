@@ -555,9 +555,74 @@ FROM seqs
 """
 
 
+# --- A8: threshold grid-search aggregate (find_best_threshold,
+# bert_pytorch/predict_log.py:32-49 — P/R/F1 over a threshold grid). The
+# driver-side loop becomes a crossJoin against the (tiny) grid + one grouped
+# agg; "anomalous" ground truth = event_type='error'. ------------------------
+def q_threshold_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)) / F.count(F.lit(1))).alias(
+            "score"
+        ),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("truth"),
+    )
+    grid = spark.range(1, 10).select((F.col("id") / 20.0).alias("th"))
+    j = per_user.crossJoin(grid)
+    pred = (F.col("score") > F.col("th")).cast("int")  # strict >, predict_log.py:16-29
+    agg = j.groupBy("th").agg(
+        F.sum(pred * F.col("truth")).alias("tp"),
+        F.sum(pred * (1 - F.col("truth"))).alias("fp"),
+        F.sum((1 - pred) * F.col("truth")).alias("fn"),
+    )
+    f1 = F.round(
+        2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+    )
+    return agg.select("th", "tp", "fp", "fn", f1.alias("f1"))
+
+
+_GRID_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) / count(*) AS score,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS truth
+  FROM events GROUP BY user_id
+), grid AS (SELECT i / 20.0 AS th FROM range(1, 10) t(i))
+SELECT th,
+       cast(sum(cast(score > th AS int) * truth) AS bigint) AS tp,
+       cast(sum(cast(score > th AS int) * (1 - truth)) AS bigint) AS fp,
+       cast(sum((1 - cast(score > th AS int)) * truth) AS bigint) AS fn,
+       round(2 * sum(cast(score > th AS int) * truth)
+             / (2 * sum(cast(score > th AS int) * truth)
+                + sum(cast(score > th AS int) * (1 - truth))
+                + sum((1 - cast(score > th AS int)) * truth)), 6) AS f1
+FROM per_user CROSS JOIN grid
+GROUP BY th
+"""
+
+
+# --- seeded sample / split (HDFS/data_process.py:109 sample(frac,seed);
+# sample.py:93-96 train_test_split(seed)) — sampling is engine-specific so
+# these are rows-only checks; determinism is asserted in tests. --------------
+def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").sample(fraction=0.1, seed=20).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def q_seeded_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = t(spark, sf_dir, "orders").randomSplit([0.8, 0.2], seed=1234)
+    return spark.createDataFrame(
+        [("train", train.count()), ("test", test.count())], "split string, n long"
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "to_seq": q_to_seq,
+    "threshold_grid": q_threshold_grid,
+    "seeded_sample": q_seeded_sample,
+    "seeded_split": q_seeded_split,
     "group_collect_ordered": q_group_collect_ordered,
     "template_frequency": q_template_frequency,
     "ranked_mapping": q_ranked_mapping,
@@ -584,6 +649,8 @@ QUERIES = {
 ORACLES = {
     "pricing_summary": _Q1_SQL,
     "to_seq": _TOSEQ_SQL,
+    "threshold_grid": _GRID_SQL,
+    # seeded_sample / seeded_split: engine-specific RNG → rows-only
     "group_collect_ordered": _A1_SQL,
     "template_frequency": _A2_SQL,
     "ranked_mapping": _A3_SQL,

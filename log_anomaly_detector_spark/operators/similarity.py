@@ -126,12 +126,86 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A9: per-dimension mean over vectors (hypersphere center = mean of
+# embeddings, bert_pytorch/train_log.py:160-181) — posexplode + grouped avg;
+# sums taken per-row-scaled-integer for oracle determinism (see
+# q_pricing_summary note). ---------------------------------------------------
+def q_embedding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    return (
+        comp.filter(F.col("dim") < 8)  # first 8 dims keep the output compact
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.floor(F.col("x") * 1e6)) / 1e6 / F.count(F.lit(1)), 6
+            ).alias("mean_x"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_EMB_MEAN_SQL = """
+SELECT label, cast(i - 1 AS int) AS dim,
+       round(sum(cast(floor(x * 1e6) AS bigint)) / 1e6 / count(*), 6) AS mean_x,
+       count(*) AS n
+FROM (
+  SELECT label,
+         generate_subscripts(embedding::DOUBLE[], 1) AS i,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+)
+WHERE i <= 8
+GROUP BY 1, 2
+"""
+
+
+# --- embedding-cosine near-dup dedup: all pairs above a high cosine
+# threshold (the embedding analogue of MinHash near-dup). Brute force is fine
+# at oracle scale; the LSH-bucketed variant (q_ann_lsh) is the scale path. ---
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+        6,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+    )
+
+
+_EMB_NEARDUP_SQL = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cosine
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.45
+"""
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "embedding_mean": q_embedding_mean,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES = {
     "cosine_topk": _COSINE_SQL,
     # ann_lsh: approximate by design → rows-only
+    "embedding_mean": _EMB_MEAN_SQL,
+    "embedding_near_dup": _EMB_NEARDUP_SQL,
 }

@@ -49,6 +49,8 @@ def test_every_query_has_oracle_or_is_approximate():
         "simhash",             # xxhash64-seeded
         "ann_lsh",             # approximate recall
         "mm_features",         # stubbed decoder
+        "seeded_sample",       # engine-specific RNG
+        "seeded_split",        # engine-specific RNG
     }
 
 

@@ -63,6 +63,54 @@ def test_read_sequence_file(spark, tmp_path):
     assert toks == [(1, 2, 3), (7,), (10, 20)]
 
 
+def test_csv_pinned_and_sequence_sink_roundtrip(spark, tmp_path):
+    from log_anomaly_detector_spark.sources.tabular import (
+        read_csv_pinned,
+        write_sequence_text,
+    )
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,name,score\n1,a,0.5\n2,b,\n")
+    df = read_csv_pinned(spark, str(csv), "id int, name string, score double")
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] == 0.5 and rows[2]["score"] is None
+    assert df.schema.simpleString() == "struct<id:int,name:string,score:double>"
+
+    seqs = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [9])], "doc_id string, tokens array<int>"
+    )
+    out = str(tmp_path / "seq_out")
+    write_sequence_text(seqs, out)
+    back = read_sequence_file(spark, out)
+    assert sorted(tuple(r["tokens"]) for r in back.collect()) == [(1, 2, 3), (9,)]
+
+
+def test_windowed_streaming_counts(spark, tmp_path):
+    from log_anomaly_detector_spark.streaming.windowed import run_windowed_counts_once
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    in_dir = tmp_path / "events_in"
+    in_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", in_dir / "part-0.parquet")
+    res = run_windowed_counts_once(
+        spark, str(in_dir), schema, str(tmp_path / "ckpt")
+    )
+    batch = (
+        spark.read.parquet(str(in_dir))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    assert res.count() == batch.count()
+    assert res.agg(F.sum("n")).first()[0] == 1000  # all events counted
+
+
 def test_streaming_validation(spark, tmp_path):
     spec = GenSpec(n_docs=2_000, n_parts=4, seed=3)
     in_dir = str(tmp_path / "in")
