@@ -37,6 +37,7 @@ def plan_facts(df: DataFrame, execute: bool = False) -> dict[str, bool | int]:
         and "PushedFilters: []" not in plan,
         "broadcast_join": "BroadcastHashJoin" in plan,
         "sort_merge_join": "SortMergeJoin" in plan,
+        "shuffle_exchanges": plan.count("Exchange (") - plan.count("BroadcastExchange ("),
         "codegen_stages": codegen,
         "partial_agg": "partial_" in plan or "HashAggregate" in plan,
     }
