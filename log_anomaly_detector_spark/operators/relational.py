@@ -617,12 +617,59 @@ def q_seeded_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- R1-R3 shape: the engine's single-scan column-stats pack, expressed over
+# the documents table so the driver's DuckDB gate verifies the exact
+# semantics (rules/column_stats.py mirrors this over sequences). -------------
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return docs.groupBy("source").agg(
+        n.alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_text"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.sum("n_chars") / n, 6).alias("mean_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("doc_id").alias("distinct_docs"),
+    )
+
+
+_COLSTATS_SQL = """
+SELECT source, count(*) AS n_rows,
+       cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_text,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round(cast(sum(n_chars) AS bigint) / count(*), 6) AS mean_chars,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT doc_id) AS distinct_docs
+FROM documents GROUP BY source
+"""
+
+
+# --- R8 shape: the drift pack's fixed-bucket histogram aggregate (the input
+# to PSI / KS-D / chi-square in rules/drift.py), over documents n_chars. -----
+def q_drift_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 64).cast("int"), F.lit(15))
+    return (
+        docs.groupBy("lang", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_DRIFTHIST_SQL = """
+SELECT lang, cast(least(n_chars // 64, 15) AS int) AS bucket, count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "to_seq": q_to_seq,
     "threshold_grid": q_threshold_grid,
     "seeded_sample": q_seeded_sample,
     "seeded_split": q_seeded_split,
+    "column_stats": q_column_stats,
+    "drift_hist": q_drift_hist,
     "group_collect_ordered": q_group_collect_ordered,
     "template_frequency": q_template_frequency,
     "ranked_mapping": q_ranked_mapping,
@@ -651,6 +698,8 @@ ORACLES = {
     "to_seq": _TOSEQ_SQL,
     "threshold_grid": _GRID_SQL,
     # seeded_sample / seeded_split: engine-specific RNG → rows-only
+    "column_stats": _COLSTATS_SQL,
+    "drift_hist": _DRIFTHIST_SQL,
     "group_collect_ordered": _A1_SQL,
     "template_frequency": _A2_SQL,
     "ranked_mapping": _A3_SQL,
