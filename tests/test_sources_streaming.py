@@ -111,6 +111,47 @@ def test_windowed_streaming_counts(spark, tmp_path):
     assert res.agg(F.sum("n")).first()[0] == 1000  # all events counted
 
 
+def test_stateful_streaming_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches — feeding
+    the same docs in two batches doubles the accumulated counts."""
+    from log_anomaly_detector_spark.streaming.stateful import run_stateful_once
+
+    rows = [
+        ("d1", [1, 2], 2, "s", 0),
+        ("d1", [3], 1, "s", 0),
+        ("d2", [1, 2, 3], 99, "s", 0),  # n_tok mismatch → violation
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, part_id int"
+    )
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    df.coalesce(1).write.mode("overwrite").parquet(str(in_dir / "batch1"))
+    # file source treats the dir as the stream; write two separate files
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate((in_dir / "batch1").glob("*.parquet")):
+        shutil.copy(f, flat / f"b1_{i}.parquet")
+    out = str(tmp_path / "scores_out")
+    res1 = run_stateful_once(spark, str(flat), ckpt, out)
+    r1 = {r["doc_id"]: r for r in res1.collect()}
+    assert r1["d1"]["n_rows"] == 2 and r1["d1"]["n_tok_sum"] == 3
+    assert r1["d2"]["n_bad"] == 1 and r1["d2"]["label"] == "Anomaly"
+    assert r1["d1"]["label"] == "Normal"
+
+    # second batch: same rows land again → state accumulates
+    for i, f in enumerate((in_dir / "batch1").glob("*.parquet")):
+        shutil.copy(f, flat / f"b2_{i}.parquet")
+    res2 = run_stateful_once(spark, str(flat), ckpt, out)
+    r2 = {r["doc_id"]: r for r in res2.collect()}
+    assert r2["d1"]["n_rows"] == 4 and r2["d1"]["n_tok_sum"] == 6
+    assert r2["d2"]["n_rows"] == 2 and r2["d2"]["n_bad"] == 2
+
+
 def test_streaming_validation(spark, tmp_path):
     spec = GenSpec(n_docs=2_000, n_parts=4, seed=3)
     in_dir = str(tmp_path / "in")
