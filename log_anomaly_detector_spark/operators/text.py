@@ -316,8 +316,77 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", sim.cast("int").alias("simhash16"))
 
 
+# --- masked-token / label build (bert_pytorch/dataset/log_dataset.py:50-96
+# random_item: mask_ratio of tokens → <mask>=4 with label = original token,
+# unmasked → label 0). Randomness is replaced by a deterministic md5-based
+# per-(doc, position) coin so the op is reproducible at any parallelism AND
+# oracle-checkable — the reference itself pins seeds for the same reason
+# (dataset/utils.py:13-19 seed_everything). All JVM-side expressions. --------
+MASK_PCT = 65  # mask_ratio=0.65, output/hdfs/bert/parameters.txt:38
+
+
+def q_mask_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    toks = F.transform(ws, lambda w: F.length(w).cast("int"))  # word-length ids
+
+    def coin(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(":"), i.cast("string")
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 100
+        ) < MASK_PCT
+
+    masked = F.transform(toks, lambda x, i: F.when(coin(i), F.lit(4)).otherwise(x))
+    labels = F.transform(toks, lambda x, i: F.when(coin(i), x).otherwise(F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(masked, 1, 12).cast("array<string>"), " ").alias(
+            "masked_prefix"
+        ),
+        F.array_join(F.slice(labels, 1, 12).cast("array<string>"), " ").alias(
+            "labels_prefix"
+        ),
+        F.size(F.filter(masked, lambda x: x == 4)).alias("n_masked"),
+    )
+
+
+_MASK_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         generate_subscripts(string_split_regex(trim(text), ' +'), 1) AS i,
+         unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+), m AS (
+  SELECT doc_id, i,
+         CASE WHEN (('0x' || substr(md5(doc_id || ':' || (i - 1)), 1, 4))::int % 100) < {MASK_PCT}
+              THEN 4 ELSE length(word) END AS masked,
+         CASE WHEN (('0x' || substr(md5(doc_id || ':' || (i - 1)), 1, 4))::int % 100) < {MASK_PCT}
+              THEN length(word) ELSE 0 END AS label
+  FROM w
+)
+SELECT doc_id,
+       string_agg(CASE WHEN i <= 12 THEN cast(masked AS varchar) END, ' ' ORDER BY i) AS masked_prefix,
+       string_agg(CASE WHEN i <= 12 THEN cast(label AS varchar) END, ' ' ORDER BY i) AS labels_prefix,
+       cast(sum(CASE WHEN masked = 4 THEN 1 ELSE 0 END) AS int) AS n_masked
+FROM m GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
+    "mask_tokens": q_mask_tokens,
     "quality_score": q_quality_score,
     "langid": q_langid,
     "doc_fingerprint": q_fingerprint,
@@ -329,6 +398,7 @@ QUERIES = {
 
 ORACLES = {
     "token_count": _TOKCOUNT_SQL,
+    "mask_tokens": _MASK_SQL,
     "quality_score": _QUALITY_SQL,
     "langid": _LANGID_SQL,
     "doc_fingerprint": _FP_SQL,
