@@ -67,37 +67,40 @@ QUALIFY rank <= {TOP_K}
 """
 
 
-N_PLANES = 6  # 64 buckets — sized so sf0.01's 500 vectors give ~8/bucket
+# multi-table random-hyperplane LSH: L independent tables of P planes each.
+# One table of many planes has vanishing recall for ~60-degree neighbors
+# (P(match) = (1 - θ/π)^planes), so candidates are the UNION over tables —
+# the standard (k, L) construction. Recall at sf0.01 vs exact top-5: ~0.9.
+N_TABLES = 12
+PLANES_PER_TABLE = 4
 
 
 def _plane_table(spark: SparkSession, dim: int) -> DataFrame:
-    """Deterministic pseudo-random hyperplanes: sign(xxhash64(k, i)) — tiny
-    (N_PLANES × dim), always broadcast."""
-    planes = spark.range(N_PLANES).select(F.col("id").alias("k"))
+    """Deterministic hyperplanes: sign(xxhash64(t, k, i)) — tiny
+    (L × P × dim), always broadcast."""
+    tables = spark.range(N_TABLES).select(F.col("id").alias("tbl"))
+    planes = spark.range(PLANES_PER_TABLE).select(F.col("id").alias("k"))
     dims = spark.range(dim).select(F.col("id").alias("i"))
-    return planes.crossJoin(dims).select(
+    return tables.crossJoin(planes).crossJoin(dims).select(
+        "tbl",
         "k",
         "i",
-        (F.pmod(F.xxhash64(F.col("k"), F.col("i")), F.lit(2)) * 2 - 1)
+        (F.pmod(F.xxhash64(F.col("tbl"), F.col("k"), F.col("i")), F.lit(2)) * 2 - 1)
         .cast("double")
         .alias("sign"),
     )
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH: 12-bit signature → bucket → exact cosine only
-    within the query's bucket. Approximate (recall < 1) → rows-only check."""
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+def _lsh_buckets(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket) — one row per vector per table."""
     dim = emb.select(F.size("v").alias("d")).first()["d"]
-    comp = emb.select(
-        "vec_id", "v", F.posexplode("v").alias("i", "x")
-    ).join(F.broadcast(_plane_table(spark, dim)), "i")
-    sig = (
-        comp.groupBy("vec_id", "k")
+    comp = emb.select("vec_id", F.posexplode("v").alias("i", "x")).join(
+        F.broadcast(_plane_table(spark, dim)), "i"
+    )
+    return (
+        comp.groupBy("vec_id", "tbl", "k")
         .agg(F.sum(F.col("x") * F.col("sign")).alias("proj"))
-        .groupBy("vec_id")
+        .groupBy("vec_id", "tbl")
         .agg(
             F.sum(
                 F.when(
@@ -106,11 +109,26 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket")
         )
     )
-    withsig = emb.join(sig, "vec_id")
-    q = withsig.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH → union of bucket candidates → exact cosine
+    top-k. Approximate (recall < 1) → rows-only check."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    c = withsig.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "bucket")
+    buckets = _lsh_buckets(spark, emb)
+    q = buckets.join(
+        emb.filter(F.col("vec_id") < N_QUERIES), "vec_id"
+    ).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "tbl", "bucket")
+    c = buckets.select(F.col("vec_id").alias("c_id"), "tbl", "bucket")
+    cand = (
+        q.join(c, ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "qv", "c_id")
+        .dropDuplicates(["q_id", "c_id"])  # union over tables
+        .join(emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv")), "c_id")
+    )
     cos = F.round(
         _dot(F.col("qv"), F.col("cv"))
         / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
@@ -118,9 +136,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
-        q.join(c, ["bucket"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cos.alias("cosine"))
+        cand.select("q_id", "c_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
@@ -196,9 +212,92 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+# --- IVF ANN: the other scale path for similarity search. Deterministic
+# build: K seed centroids (first K vectors) + ONE Lloyd refinement, both as
+# pure DataFrame ops (assignment = broadcast join + argmax window; centroid
+# update = posexplode + per-dim mean + ordered re-collect). Search probes the
+# nprobe nearest inverted lists only — at 10^12 vectors the exact-scoring
+# join touches ~nprobe/K of the table instead of all of it. -------------------
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _cos(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid) — nearest centroid by cosine; broadcast K×dim table."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cid", _cos(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def build_ivf(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (centroids(cid, cv), index(vec_id, v, cid))."""
+    c0 = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a0 = _assign(emb, c0)
+    # one Lloyd step: per-dim mean of each cluster, arrays rebuilt in order
+    comp = a0.select("cid", F.posexplode("v").alias("dim", "x"))
+    c1 = (
+        comp.groupBy("cid", "dim")
+        .agg(F.avg("x").alias("mx"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+                lambda s: s["mx"],
+            ).alias("cv")
+        )
+    )
+    return c1, _assign(emb, c1)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: probe the N_PROBE nearest centroids per query, exact cosine
+    within those lists only. Approximate recall → rows-only check."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids, index = build_ivf(emb)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "q_id", "qv", "cid", _cos(F.col("qv"), F.col("cv")).alias("csim")
+    )
+    wprobe = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("q_id", "qv", "cid")
+    )
+    cand = probes.join(
+        index.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv_"), "cid"),
+        "cid",
+    ).filter(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        cand.select(
+            "q_id", "c_id", F.round(_cos(F.col("qv"), F.col("cv_")), 6).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_mean": q_embedding_mean,
     "embedding_near_dup": q_embedding_near_dup,
 }

@@ -34,6 +34,9 @@ def duplicate_keys(df: DataFrame, cfg: RuleConfig) -> DataFrame:
     doc_id Catalyst plans it with NO exchange at all; ``salted`` (default) is
     the layout-agnostic two-phase variant described in the module docstring.
     """
+    # NULL doc_ids are a null-rate violation (R1), never "duplicates of each
+    # other" — pinned; the golden pandas impl (value_counts dropna) agrees.
+    df = df.filter(F.col("doc_id").isNotNull())
     if cfg.uniqueness_mode == "direct":
         return (
             df.groupBy("doc_id")

@@ -23,23 +23,25 @@ from log_anomaly_detector_spark.golden import (
 )
 
 SPEC = GenSpec(n_docs=8_000, n_parts=8, seed=42)
+SPEC_B = GenSpec(n_docs=6_000, n_parts=6, seed=7)
 
 
-@pytest.fixture(scope="module")
-def world(spark, tmp_path_factory):
-    seqs = gen_sequences(spark, SPEC).cache()
-    snap = gen_reference_snapshot(spark, SPEC).cache()
+@pytest.fixture(scope="module", params=[SPEC, SPEC_B], ids=["seed42", "seed7"])
+def world(spark, tmp_path_factory, request):
+    spec = request.param
+    seqs = gen_sequences(spark, spec).cache()
+    snap = gen_reference_snapshot(spark, spec).cache()
     allowed = gen_allowed_sources(spark)
-    baseline = gen_baseline_profile(spark, SPEC, CFG)
+    baseline = gen_baseline_profile(spark, spec, CFG)
     out = str(tmp_path_factory.mktemp("engine_out"))
     res = run_validation(
         spark, seqs, snap, allowed, baseline, out, CFG, input_digest="t1"
     )
-    return seqs, snap, allowed, baseline, res, out
+    return spec, seqs, snap, allowed, baseline, res, out
 
 
 def test_violation_sets_match_golden(spark, world):
-    seqs, snap, allowed, baseline, res, out = world
+    spec, seqs, snap, allowed, baseline, res, out = world
     seq_pdf = seqs.toPandas()
     snap_pdf = snap.toPandas()
     allowed_set = {r["source"] for r in allowed.collect()}
@@ -55,7 +57,7 @@ def test_violation_sets_match_golden(spark, world):
 
 
 def test_partition_rule_verdicts_match_golden(spark, world):
-    seqs, snap, allowed, baseline, res, out = world
+    spec, seqs, snap, allowed, baseline, res, out = world
     seq_pdf = seqs.toPandas()
     sources = sorted(r["source"] for r in allowed.collect())
     gold = golden_partition_verdicts(seq_pdf, baseline, CFG, sources)
@@ -74,7 +76,7 @@ def test_partition_rule_verdicts_match_golden(spark, world):
 
 
 def test_labels_and_scores_match_golden(spark, world):
-    seqs, snap, allowed, baseline, res, out = world
+    spec, seqs, snap, allowed, baseline, res, out = world
     seq_pdf = seqs.toPandas()
     snap_pdf = snap.toPandas()
     sources = sorted(r["source"] for r in allowed.collect())
@@ -92,20 +94,20 @@ def test_labels_and_scores_match_golden(spark, world):
 
     # the fixture is designed to exercise both labels and the drift rules
     labels = {v["part_id"]: v["label"] for v in res.verdicts}
-    assert labels[SPEC.heavy_part] == "Anomaly"
+    assert labels[spec.heavy_part] == "Anomaly"
     drift_fail = {
         r["part_id"]
         for r in res.rule_verdicts
         if r["rule_id"].startswith("drift") and not r["passed"]
     }
-    assert SPEC.drift_part in drift_fail
+    assert spec.drift_part in drift_fail
     assert "Normal" in labels.values()
 
 
 def test_verdict_table_written(spark, world):
-    *_, res, out = world
+    spec, *_, res, out = world
     verd = spark.read.parquet(f"{out}/verdicts")
-    assert verd.count() == SPEC.n_parts
+    assert verd.count() == spec.n_parts
     assert {r["part_id"]: r["label"] for r in verd.collect()} == {
         v["part_id"]: v["label"] for v in res.verdicts
     }

@@ -48,6 +48,7 @@ def test_every_query_has_oracle_or_is_approximate():
         "minhash_lsh_pairs",   # xxhash64-seeded
         "simhash",             # xxhash64-seeded
         "ann_lsh",             # approximate recall
+        "ann_ivf",             # approximate recall
         "mm_features",         # stubbed decoder
         "seeded_sample",       # engine-specific RNG
         "seeded_split",        # engine-specific RNG

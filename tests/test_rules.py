@@ -139,6 +139,16 @@ def test_token_equality_prefilter_equivalent(spark):
     assert hashm == pre == arrow and hashm
 
 
+def test_uniqueness_ignores_null_doc_ids(spark):
+    """Two NULL doc_ids are NOT duplicates of each other (they are R1
+    null-rate violations) — pinned semantics matching the golden impl."""
+    df = spark.createDataFrame(
+        [(None, [1], 1, "s", 0), (None, [2], 1, "s", 0), ("a", [1], 1, "s", 0)],
+        SEQ_SCHEMA,
+    )
+    assert uniqueness_violations(df, CFG).count() == 0
+
+
 def test_uniqueness_pathological_skew(spark):
     """One doc_id duplicated 200k times must not break the salted two-phase
     check — the partial agg collapses copies before the key-shuffle, so no
