@@ -92,24 +92,30 @@ def bench_engine(spark) -> dict:
     with open(os.path.join(cache, "baseline.json")) as f:
         baseline = json.load(f)
 
+    # warmup once (JIT/codegen), then best-of-3 measured passes — this host
+    # is co-tenanted and a single pass can land on a load spike.
     out: dict = {}
-    for phase in ("warmup", "measured"):
+    trials: list[dict] = []
+    for phase in ("warmup", "m1", "m2", "m3"):
         run_dir = tempfile.mkdtemp(prefix=f"lad_bench_{phase}_")
         res = run_validation(
             spark, seqs, snap, allowed, baseline, run_dir, cfg,
             input_digest="bench",
         )
-        if phase == "measured":
-            out = {
-                "engine_rows": res.metrics["rows_validated"],
-                "engine_wall_sec": res.metrics["wall_sec"],
-                "engine_rows_per_sec": res.metrics["rows_per_sec"],
-                "engine_job_secs": res.metrics["job_secs"],
-                "engine_anomalies": sorted(
-                    v["part_id"] for v in res.verdicts if v["label"] == "Anomaly"
-                ),
-            }
+        if phase != "warmup":
+            trials.append(res.metrics)
+            if not out or res.metrics["rows_per_sec"] > out["engine_rows_per_sec"]:
+                out = {
+                    "engine_rows": res.metrics["rows_validated"],
+                    "engine_wall_sec": res.metrics["wall_sec"],
+                    "engine_rows_per_sec": res.metrics["rows_per_sec"],
+                    "engine_job_secs": res.metrics["job_secs"],
+                    "engine_anomalies": sorted(
+                        v["part_id"] for v in res.verdicts if v["label"] == "Anomaly"
+                    ),
+                }
         shutil.rmtree(run_dir, ignore_errors=True)
+    out["engine_trials_rows_per_sec"] = [t["rows_per_sec"] for t in trials]
     return out
 
 

@@ -173,7 +173,9 @@ def shingles(text_col) -> "F.Column":
 def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # set sizes as a per-doc array expression — NOT explode+count, which would
+    # re-materialize the 3-gram explosion a third time
+    sizes = docs.select("doc_id", F.size(shingles(F.col("text"))).alias("sz"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = (
         a.join(
