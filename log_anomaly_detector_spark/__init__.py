@@ -24,6 +24,7 @@ RULE_VERSIONS = {
     "uniqueness": "1.0",
     "referential": "1.0",
     "n_tok_consistency": "1.0",
+    "null_tokens": "1.0",
     "token_equality": "1.0",
     "drift_psi": "1.0",
     "drift_ks": "1.0",

@@ -68,6 +68,7 @@ class RuleConfig:
         "referential",
         "n_tok_consistency",
         "token_equality",
+        "null_tokens",
     )
     # partition-scope rules whose failure alone flips the label
     partition_rules: tuple[str, ...] = (

@@ -131,7 +131,10 @@ def run_validation(
         vio_stats = (
             written.filter(F.col("part_id").isin([int(p) for p in batch]))
             .rollup("part_id", "rule_id")
-            .agg(F.countDistinct("doc_id").alias("docs"))
+            .agg(
+                F.countDistinct("doc_id").alias("docs"),
+                F.count(F.lit(1)).alias("rows"),
+            )
             .filter(F.col("part_id").isNotNull())
             .collect()
             if written is not None
@@ -139,15 +142,18 @@ def run_validation(
         )
         docs_by_part_rule: dict[tuple[int, str], int] = {}
         any_docs: dict[int, int] = {}
+        null_tokens_rows: dict[int, int] = {}
         for r in vio_stats:
             if r["rule_id"] is None:
                 any_docs[r["part_id"]] = r["docs"]
             else:
                 docs_by_part_rule[(r["part_id"], r["rule_id"])] = r["docs"]
+                if r["rule_id"] == "null_tokens":
+                    null_tokens_rows[r["part_id"]] = r["rows"]
         job_secs["agg"] += time.time() - t2
 
         # verdict assembly (driver-side, O(partitions))
-        rule_rows = stats_verdicts(stats_rows, cfg)
+        rule_rows = stats_verdicts(stats_rows, cfg, null_tokens_rows)
         rule_rows += drift_verdicts(stats_rows, baseline, cfg, sources)
         dp = cfg.score_round_dp
         for pid in batch:

@@ -27,8 +27,10 @@ def golden_row_violations(
     dups = set(dup_counts[dup_counts > 1].index)
     ref = dict(zip(snap["doc_id"], snap["ref_tokens"]))
     for row in seq.itertuples(index=False):
-        toks = list(row.tokens)
-        if row.n_tok != len(toks):
+        toks = None if row.tokens is None else list(row.tokens)
+        if toks is None:
+            out.append((row.part_id, row.doc_id, "null_tokens"))
+        elif row.n_tok is not None and row.n_tok != len(toks):
             out.append((row.part_id, row.doc_id, "n_tok_consistency"))
         if row.source is not None and not (
             isinstance(row.source, float) and np.isnan(row.source)
@@ -38,7 +40,7 @@ def golden_row_violations(
         if row.doc_id in dups:
             out.append((row.part_id, row.doc_id, "uniqueness"))
         rt = ref.get(row.doc_id)
-        if rt is not None and list(rt) != toks:
+        if toks is not None and rt is not None and list(rt) != toks:
             out.append((row.part_id, row.doc_id, "token_equality"))
     return pd.DataFrame(out, columns=["part_id", "doc_id", "rule_id"]).drop_duplicates()
 

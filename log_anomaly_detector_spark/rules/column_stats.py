@@ -43,10 +43,13 @@ def stats_pass(df: DataFrame, cfg: RuleConfig, sources: list[str]) -> DataFrame:
     per-source frequency counts into fixed columns driver-side.
     """
     bucket = _bucket_col(cfg)
+    # NOTE: no aggregate here reads `tokens` — the fat column stays out of
+    # this scan entirely (ReadSchema: doc_id, n_tok, source, part_id). The
+    # tokens null count comes from the row-rule scan (row_invariants
+    # 'null_tokens'), which reads tokens regardless.
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0)).alias("null_doc_id"),
-        F.sum(F.when(F.col("tokens").isNull(), 1).otherwise(0)).alias("null_tokens"),
         F.sum(F.when(F.col("n_tok").isNull(), 1).otherwise(0)).alias("null_n_tok"),
         F.sum(F.when(F.col("source").isNull(), 1).otherwise(0)).alias("null_source"),
         F.min("n_tok").alias("n_tok_min"),
@@ -69,18 +72,24 @@ def stats_pass(df: DataFrame, cfg: RuleConfig, sources: list[str]) -> DataFrame:
     return df.groupBy("part_id").agg(*aggs)
 
 
-def stats_verdicts(stats_rows: list[dict], cfg: RuleConfig) -> list[dict]:
+def stats_verdicts(
+    stats_rows: list[dict], cfg: RuleConfig, null_tokens_rows: dict[int, int] | None = None
+) -> list[dict]:
     """Driver-side: turn collected stats rows (one per partition — tiny) into
     per-(part_id, rule_id) verdicts. Strict ``>`` at the rule layer, stats
     rounded to 6dp first (pinned semantics, config.py).
+
+    ``null_tokens_rows``: per-partition count of NULL-tokens rows, sourced
+    from the row-rule scan (so this pass never reads the tokens column).
     """
     out = []
     dp = cfg.score_round_dp
+    null_tokens_rows = null_tokens_rows or {}
     for r in stats_rows:
         pid, n = r["part_id"], r["n_rows"]
         null_rates = [
-            r[c] / n for c in ("null_doc_id", "null_tokens", "null_n_tok", "null_source")
-        ]
+            r[c] / n for c in ("null_doc_id", "null_n_tok", "null_source")
+        ] + [null_tokens_rows.get(pid, 0) / n]
         max_null = round(max(null_rates), dp)
         out.append(
             {

@@ -52,6 +52,17 @@ def row_expr_violations(df: DataFrame, allowed: DataFrame) -> DataFrame:
             ),
         ),
     )
+    # NULL tokens detected HERE (this scan reads the fat column anyway) so the
+    # stats scan never has to touch it — its null count feeds the null_rate
+    # verdict via the violations aggregate instead.
+    null_tok_v = F.when(
+        F.col("tokens").isNull(),
+        F.struct(
+            F.lit("null_tokens").alias("rule_id"),
+            F.lit("tokens=NULL").alias("observed"),
+            F.lit("non-null tokens").alias("expected"),
+        ),
+    )
     ref_v = F.when(
         F.col("source").isNotNull() & F.col("_in_dim").isNull(),
         F.struct(
@@ -65,7 +76,7 @@ def row_expr_violations(df: DataFrame, allowed: DataFrame) -> DataFrame:
             "part_id",
             "doc_id",
             F.explode(
-                F.filter(F.array(ntok_v, ref_v), lambda v: v.isNotNull())
+                F.filter(F.array(ntok_v, ref_v, null_tok_v), lambda v: v.isNotNull())
             ).alias("v"),
         )
         .select("part_id", "doc_id", "v.rule_id", "v.observed", "v.expected")

@@ -96,7 +96,7 @@ def test_manifest_lineage_fields(spark, world, tmp_path):
         assert r["input_digest"] == "d1"
         assert set(r["rule_versions"]) == {
             "null_rate", "n_tok_stats", "approx_distinct", "uniqueness",
-            "referential", "n_tok_consistency", "token_equality",
+            "referential", "n_tok_consistency", "null_tokens", "token_equality",
             "drift_psi", "drift_ks", "drift_chi2",
         }
         assert len(r["stats_digest"]) == 16

@@ -139,6 +139,30 @@ def test_token_equality_prefilter_equivalent(spark):
     assert hashm == pre == arrow and hashm
 
 
+def test_null_tokens_row_rule_and_stats_pruning(spark):
+    """NULL tokens are flagged by the row-rule scan, and the stats scan never
+    reads the fat tokens column (its ReadSchema must exclude it)."""
+    import tempfile
+
+    from log_anomaly_detector_spark.rules.column_stats import stats_pass
+    from log_anomaly_detector_spark.rules.row_invariants import row_expr_violations
+    from log_anomaly_detector_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [("a", None, 1, "ok", 0), ("b", [1], 1, "ok", 0)], SEQ_SCHEMA
+    )
+    dim = spark.createDataFrame([("ok", "d")], "source string, description string")
+    got = {(r["doc_id"], r["rule_id"]) for r in row_expr_violations(df, dim).collect()}
+    assert got == {("a", "null_tokens")}
+
+    # pruning must survive a real parquet scan
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d)
+    plan = formatted_plan(stats_pass(spark.read.parquet(d), CFG, ["ok"]))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "tokens" not in read_schema[0], read_schema
+
+
 def test_uniqueness_ignores_null_doc_ids(spark):
     """Two NULL doc_ids are NOT duplicates of each other (they are R1
     null-rate violations) — pinned semantics matching the golden impl."""
