@@ -58,12 +58,20 @@ class ValidationResult:
 
 def _row_rule_violations(
     seqs: DataFrame, snapshot: DataFrame, allowed: DataFrame, cfg: RuleConfig
-) -> DataFrame:
-    return (
+) -> tuple[DataFrame, DataFrame | None]:
+    """(violations, cache_handle|None). On the co-located layout
+    (uniqueness_mode='direct') ALL row rules fuse into one zero-shuffle pass
+    (rules/fused.py); otherwise the layout-agnostic multi-branch plan."""
+    if cfg.uniqueness_mode == "direct":
+        from log_anomaly_detector_spark.rules.fused import fused_row_violations
+
+        return fused_row_violations(seqs, snapshot, allowed)
+    viol = (
         row_expr_violations(seqs, allowed)  # n_tok consistency + referential, 1 scan
         .unionByName(uniqueness_violations(seqs, cfg))
         .unionByName(token_equality_violations(seqs, snapshot, cfg.token_eq_mode))
     )
+    return viol, None
 
 
 def run_validation(
@@ -118,10 +126,12 @@ def run_validation(
 
         # job 2: row rules → violations table (delete+insert, idempotent)
         t1 = time.time()
-        viol = _row_rule_violations(sub, snapshot, allowed, cfg)
+        viol, cache_handle = _row_rule_violations(sub, snapshot, allowed, cfg)
         # violations are tiny — coalesce the writers so each partition dir
         # gets one file instead of one per upstream task
         storage.overwrite_partitions(viol.repartition("part_id"), viol_path, batch)
+        if cache_handle is not None:
+            cache_handle.unpersist()
         job_secs["violations"] += time.time() - t1
         t2 = time.time()
 

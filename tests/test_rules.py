@@ -248,6 +248,36 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_fused_pass_equals_multibranch(spark):
+    """The zero-shuffle fused row pass must produce exactly the multi-branch
+    plan's violation set on planted data."""
+    from log_anomaly_detector_spark.datagen import (
+        GenSpec,
+        gen_allowed_sources,
+        gen_reference_snapshot,
+        gen_sequences,
+    )
+    from log_anomaly_detector_spark.rules.fused import fused_row_violations
+    from log_anomaly_detector_spark.rules.row_invariants import row_expr_violations
+
+    spec = GenSpec(n_docs=4_000, n_parts=4, seed=13)
+    seqs = gen_sequences(spark, spec).cache()
+    snap = gen_reference_snapshot(spark, spec)
+    allowed = gen_allowed_sources(spark)
+
+    multi = {
+        tuple(r)
+        for r in row_expr_violations(seqs, allowed)
+        .unionByName(uniqueness_violations(seqs, CFG))
+        .unionByName(token_equality_violations(seqs, snap, "prefilter"))
+        .collect()
+    }
+    fused, handle = fused_row_violations(seqs, snap, allowed)
+    got = {tuple(r) for r in fused.collect()}
+    handle.unpersist()
+    assert got == multi and got
+
+
 def test_drift_stats_math():
     p = np.array([10.0, 20, 30, 40])
     q = np.array([10.0, 20, 30, 40])
