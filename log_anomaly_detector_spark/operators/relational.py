@@ -239,17 +239,19 @@ GROUP BY 1
 
 # --- J3: anti join — NOT IN (api/log_sequences.py:62) -----------------------
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = t(spark, sf_dir, "part")
-    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    ev = t(spark, sf_dir, "events")
     return (
-        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
-        .select("p_partkey", "p_brand")
+        cust.join(ev, cust.c_custkey == ev.user_id, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
     )
 
 
 _J3_SQL = """
-SELECT p_partkey, p_brand FROM part
-WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+SELECT c_mktsegment, count(*) AS n_inactive FROM customer
+WHERE c_custkey NOT IN (SELECT user_id FROM events)
+GROUP BY c_mktsegment
 """
 
 

@@ -386,9 +386,35 @@ FROM m GROUP BY doc_id
 """
 
 
+# --- J8 driver-contract entry: Drain-style fuzzy template matching over
+# documents-derived lines/templates (operators/template_match.py). Templates
+# are the 5-word prefixes of the first 25 docs with position 3 wildcarded;
+# every doc's 5-word prefix is a line. Rows-only (the positional-similarity
+# argmax is not reasonably ANSI-SQL-expressible); semantics golden-tested in
+# tests/test_template_match.py. ----------------------------------------------
+def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_anomaly_detector_spark.operators.template_match import match_templates
+
+    docs = t(spark, sf_dir, "documents")
+    prefix = F.slice(words(F.col("text")), 1, 5)
+    lines = docs.select(F.col("doc_id").alias("line_id"), prefix.alias("tokens"))
+    templates = (
+        docs.filter(F.col("doc_id") < 25)
+        .select(
+            F.concat(F.lit("T"), F.col("doc_id").cast("string")).alias("template_id"),
+            F.expr(
+                "concat(slice(split(trim(text), ' +'), 1, 2), array('<*>'), "
+                "slice(split(trim(text), ' +'), 4, 2))"
+            ).alias("template_tokens"),
+        )
+    )
+    return match_templates(lines, templates, st=0.6)
+
+
 QUERIES = {
     "token_count": q_token_count,
     "mask_tokens": q_mask_tokens,
+    "template_match": q_template_match,
     "quality_score": q_quality_score,
     "langid": q_langid,
     "doc_fingerprint": q_fingerprint,

@@ -52,6 +52,7 @@ def test_every_query_has_oracle_or_is_approximate():
         "mm_features",         # stubbed decoder
         "seeded_sample",       # engine-specific RNG
         "seeded_split",        # engine-specific RNG
+        "template_match",      # positional-similarity argmax (golden-tested)
     }
 
 
