@@ -100,7 +100,7 @@ def bench_engine(spark) -> dict:
         run_dir = tempfile.mkdtemp(prefix=f"lad_bench_{phase}_")
         res = run_validation(
             spark, seqs, snap, allowed, baseline, run_dir, cfg,
-            input_digest="bench",
+            input_digest="bench", part_ids=list(range(ENGINE_PARTS)),
         )
         if phase != "warmup":
             trials.append(res.metrics)

@@ -1,9 +1,12 @@
 """The validation engine: plan → rule passes → verdicts + violations →
 manifest checkpoint + lineage.
 
-One run over a batch of partitions executes exactly four jobs regardless of
-row count (the shape that survives 10^12 rows):
+One run executes a fixed number of jobs regardless of row count (the shape
+that survives 10^12 rows): one run-global duplicate-key job, then four jobs
+per checkpoint batch:
 
+0. (once per run) duplicate keys over the full table — global PK semantics,
+   so duplicates straddling checkpoint batches are caught;
 1. the single stats scan (partial+final hash agg → one tiny row/partition);
 2. the row-rule scan (column exprs + broadcast anti-join + salted-dedup
    uniqueness + snapshot join with the Arrow equality UDF), written straight
@@ -36,7 +39,10 @@ from log_anomaly_detector_spark.rules.column_stats import stats_pass, stats_verd
 from log_anomaly_detector_spark.rules.drift import drift_verdicts
 from log_anomaly_detector_spark.rules.row_invariants import row_expr_violations
 from log_anomaly_detector_spark.rules.token_equality import token_equality_violations
-from log_anomaly_detector_spark.rules.uniqueness import uniqueness_violations
+from log_anomaly_detector_spark.rules.uniqueness import (
+    duplicate_keys,
+    uniqueness_violations,
+)
 
 VERDICT_SCHEMA = (
     "part_id int, label string, score double, n_rows long, "
@@ -57,18 +63,23 @@ class ValidationResult:
 
 
 def _row_rule_violations(
-    seqs: DataFrame, snapshot: DataFrame, allowed: DataFrame, cfg: RuleConfig
+    seqs: DataFrame,
+    snapshot: DataFrame,
+    allowed: DataFrame,
+    cfg: RuleConfig,
+    dups: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """(violations, cache_handle|None). On the co-located layout
     (uniqueness_mode='direct') ALL row rules fuse into one zero-shuffle pass
-    (rules/fused.py); otherwise the layout-agnostic multi-branch plan."""
+    (rules/fused.py); otherwise the layout-agnostic multi-branch plan.
+    ``dups`` is the run-global duplicate-key set (see run_validation)."""
     if cfg.uniqueness_mode == "direct":
         from log_anomaly_detector_spark.rules.fused import fused_row_violations
 
-        return fused_row_violations(seqs, snapshot, allowed)
+        return fused_row_violations(seqs, snapshot, allowed, dups)
     viol = (
         row_expr_violations(seqs, allowed)  # n_tok consistency + referential, 1 scan
-        .unionByName(uniqueness_violations(seqs, cfg))
+        .unionByName(uniqueness_violations(seqs, cfg, dups))
         .unionByName(token_equality_violations(seqs, snapshot, cfg.token_eq_mode))
     )
     return viol, None
@@ -85,20 +96,27 @@ def run_validation(
     input_digest: str = "",
     batch_parts: int | None = None,
     max_batches: int | None = None,
+    part_ids: list[int] | None = None,
 ) -> ValidationResult:
     """Validate all partitions of ``seqs`` not yet checkpointed as done.
 
     ``batch_parts`` controls checkpoint granularity (partitions per commit);
     default = all pending in one batch. ``max_batches`` stops early (used by
-    the resume test to simulate a killed run).
+    the resume test to simulate a killed run). ``part_ids`` is the partition
+    list from storage METADATA (``storage.list_partitions`` on hive layouts /
+    the Iceberg ``.partitions`` table) — callers with a path should pass it so
+    planning the run launches no data-scan job; the distinct scan below is
+    only the fallback for ad-hoc DataFrames with no storage layout.
     """
     os.makedirs(out_dir, exist_ok=True)
     sources = [r["source"] for r in allowed.select("source").distinct().collect()]
     sources.sort()
 
     t_all = time.time()
-    all_parts = sorted(
-        r["part_id"] for r in seqs.select("part_id").distinct().collect()
+    all_parts = (
+        sorted(part_ids)
+        if part_ids is not None
+        else sorted(r["part_id"] for r in seqs.select("part_id").distinct().collect())
     )
     done = storage.completed_partitions(out_dir, input_digest, RULE_VERSIONS)
     pending = [p for p in all_parts if p not in done]
@@ -113,7 +131,28 @@ def run_validation(
     verd_path = os.path.join(out_dir, "verdicts")
     total_rows = 0
 
-    job_secs: dict[str, float] = {"stats": 0.0, "violations": 0.0, "agg": 0.0}
+    job_secs: dict[str, float] = {
+        "dup_keys": 0.0, "stats": 0.0, "violations": 0.0, "agg": 0.0
+    }
+    # job 0 (once per run, not per batch): duplicate keys over the FULL table
+    # — doc_id is a global PRIMARY KEY in the reference (init_schema.sql:12),
+    # so duplicates spanning checkpoint batches or a done-vs-resumed partition
+    # pair must still be caught. On the bucketed layout this groupBy has no
+    # Exchange; the (normally empty) result is persisted so per-batch
+    # attribution joins don't rescan the table. SHORTCUT: when the run is ONE
+    # batch covering every partition (the common cold full run), the in-batch
+    # uniqueness computation is already table-global — skip the extra job.
+    dups = None
+    n_dup_keys = -1  # -1 = not separately computed (single full batch)
+    single_full_batch = (
+        len(batches) == 1 and not done and set(batches[0]) == set(all_parts)
+    )
+    if batches and not single_full_batch:
+        t_dup = time.time()
+        dups = duplicate_keys(seqs, cfg).persist()
+        n_dup_keys = dups.count()
+        job_secs["dup_keys"] = time.time() - t_dup
+
     for batch in batches:
         t0 = time.time()
         # partition pruning: on Iceberg/hive layouts this filter prunes files
@@ -126,7 +165,7 @@ def run_validation(
 
         # job 2: row rules → violations table (delete+insert, idempotent)
         t1 = time.time()
-        viol, cache_handle = _row_rule_violations(sub, snapshot, allowed, cfg)
+        viol, cache_handle = _row_rule_violations(sub, snapshot, allowed, cfg, dups)
         # violations are tiny — coalesce the writers so each partition dir
         # gets one file instead of one per upstream task
         storage.overwrite_partitions(viol.repartition("part_id"), viol_path, batch)
@@ -251,10 +290,13 @@ def run_validation(
         storage.overwrite_partitions(verd_df, verd_path, batch)
         storage.append_manifest(out_dir, manifest_records)
 
+    if dups is not None:
+        dups.unpersist()
     wall_all = time.time() - t_all
     result.metrics = {
         "partitions_total": len(all_parts),
         "partitions_skipped": len(done),
+        "duplicate_keys_global": n_dup_keys,
         "partitions_validated": sum(len(b) for b in batches),
         "rows_validated": total_rows,
         "wall_sec": round(wall_all, 3),

@@ -16,6 +16,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def one_part(col) -> "F.Column":
+    """Constant-valued but NON-foldable window partition key (``pmod(col,1)``
+    is 0 for every row). Used to number inputs that are KNOWN BOUNDED (post
+    ``limit`` / dim-sized aggregates): the rows legitimately fit one task, and
+    an explicit key keeps Catalyst from eliminating the partition spec and
+    planning the warn-worthy unpartitioned Window (a foldable ``lit(0)`` gets
+    constant-folded away)."""
+    return F.pmod(col, F.lit(1))
+
+
 # --------------------------------------------------------------------------
 # flagship: TPC-H-Q1-shaped pricing summary (A4/A5 aggregate family; the
 # reference's summary step detect_anomaly_sequence.py:162-173 lifted to the
@@ -109,10 +119,17 @@ _A2_SQL = "SELECT event_type, count(*) AS occurrences FROM events GROUP BY event
 
 
 # --- A3/W2: occurrence-ranked dense enumeration (HDFS/data_process.py:33-40;
-# ties broken by event_type asc — pinned secondary key, FIXTURES.md) --------
+# ties broken by event_type asc — pinned secondary key, FIXTURES.md).
+# The window input is the POST-AGGREGATION template dimension (the reference's
+# is 48 rows) — dim-sized by construction, so a single-partition window is the
+# right plan; the constant partition key documents that and keeps the plan off
+# the unpartitioned-window path. For unbounded inputs see q_vocab_build's
+# two-phase ranking. ---------------------------------------------------------
 def q_ranked_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = q_template_frequency(spark, sf_dir)
-    w = Window.orderBy(F.desc("occurrences"), F.asc("event_type"))
+    w = Window.partitionBy(one_part(F.col("occurrences"))).orderBy(
+        F.desc("occurrences"), F.asc("event_type")
+    )
     return counts.withColumn("mapping_id", F.row_number().over(w))
 
 
@@ -367,13 +384,29 @@ FROM (
 
 
 # --- W4: pagination window — LIMIT/OFFSET over ordered rows
-# (api/log_sequences.py:71-76) -------------------------------------------------
+# (api/log_sequences.py:71-76). Scale shape: orderBy().limit(hi) plans as
+# TakeOrderedAndProject — every task keeps only its local top-`hi`, the
+# driver merges O(tasks × hi) rows — then row numbers are assigned over the
+# already-bounded (≤ hi rows) slice. The naive global row_number() window
+# funnels the WHOLE table through one task (Spark itself warns); this plan
+# never materializes more than the page bound anywhere. --------------------
 def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    page_lo, page_hi = 101, 200
     orders = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    top = (
+        orders.select("o_orderdate", "o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(page_hi)  # TakeOrderedAndProject: parallel partial top-k
+    )
+    # numbering the ≤ page_hi surviving rows is dim-sized work by
+    # construction; the constant partition key keeps the window off the
+    # unpartitioned-window path
+    w = Window.partitionBy(one_part(F.col("o_orderkey"))).orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn").between(101, 200))
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(page_lo, page_hi))
         .select("rn", "o_orderkey", "o_totalprice")
     )
 
@@ -471,17 +504,129 @@ FROM events
 """
 
 
+# --- §2.7 ParameterList extraction (get_parameter_list, Drain.py:553-562):
+# recover the parameter values a matched template masked out of a line. The
+# reference builds a per-template regex (escape literals, '<*>' → '(.*?)')
+# and findall()s it; for Drain-matched (line, template) pairs — which have
+# IDENTICAL token counts by construction — that is equivalent to POSITIONAL
+# extraction: at every template token containing '<*>', take the line token
+# with the template token's literal prefix/suffix stripped. Positional form
+# is a pure zip_with column expression (no per-row regex compilation, no
+# Python) and is ANSI-expressible, so it gets a hard DuckDB oracle.
+# Divergence (documented): ≥2 wildcards inside ONE token yield one combined
+# param (the reference yields one per wildcard); no such token exists in the
+# reference's own HDFS dim. --------------------------------------------------
+WILDCARD_TOKEN = "<*>"
+
+
+def parameter_list(content, template) -> "F.Column":
+    """array<string> of parameters of ``content`` under ``template``."""
+    # reference first normalizes short angle tokens to '<*>' (Drain.py:554)
+    tmpl = F.regexp_replace(template, r"<.{1,5}>", "<*>")
+    pairs = F.zip_with(
+        F.split(tmpl, " "),
+        F.split(content, " "),
+        lambda tk, c: F.struct(tk.alias("tk"), c.alias("c")),
+    )
+    def strip(p):
+        prefix = F.substring_index(p["tk"], WILDCARD_TOKEN, 1)
+        suffix = F.substring_index(p["tk"], WILDCARD_TOKEN, -1)
+        return F.substring(
+            p["c"],
+            F.length(prefix) + 1,
+            F.length(p["c"]) - F.length(prefix) - F.length(suffix),
+        )
+    return F.transform(
+        F.filter(pairs, lambda p: p["tk"].contains(WILDCARD_TOKEN)), strip
+    )
+
+
+def q_param_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    template = F.regexp_replace(F.col("props"), r"\d+", "<*>")
+    params = parameter_list(F.col("props"), template)
+    return ev.select(
+        "event_id",
+        template.alias("template"),
+        F.array_join(params, "|").alias("params"),
+        F.size(params).alias("n_params"),
+    )
+
+
+_PARAM_SQL = r"""
+SELECT event_id,
+       regexp_replace(props, '\d+', '<*>', 'g') AS template,
+       array_to_string(
+         list_transform(
+           list_filter(
+             list_zip(string_split(regexp_replace(regexp_replace(props, '\d+', '<*>', 'g'),
+                                                  '<.{1,5}>', '<*>', 'g'), ' '),
+                      string_split(props, ' ')),
+             p -> contains(p[1], '<*>')),
+           p -> substring(p[2],
+                          length(string_split(p[1], '<*>')[1]) + 1,
+                          length(p[2])
+                            - length(string_split(p[1], '<*>')[1])
+                            - length(string_split(p[1], '<*>')[len(string_split(p[1], '<*>'))]))
+         ), '|') AS params,
+       cast(len(list_filter(string_split(regexp_replace(regexp_replace(props, '\d+', '<*>', 'g'),
+                                                        '<.{1,5}>', '<*>', 'g'), ' '),
+                            tk -> contains(tk, '<*>'))) AS int) AS n_params
+FROM events
+"""
+
+
 # --- D6/A7: vocab build — freq-sorted token enumeration with reserved
-# specials (vocab.py:51-57, 93-101: <pad>=0 <unk>=1 <eos>=2 <sos>=3 <mask>=4) ---
+# specials (vocab.py:51-57, 93-101: <pad>=0 <unk>=1 <eos>=2 <sos>=3 <mask>=4).
+#
+# Scale shape: the vocabulary of a 100 TB corpus is billions of rows, so the
+# global enumeration is TWO-PHASE (the DataFrame analogue of RDD
+# zipWithIndex): range-partition on the sort key, rank locally within each
+# range, then add per-range offsets (an O(partitions) driver-side list).
+# No window ever sees more than |vocab|/N rows. The persist pins the sampled
+# range boundaries so the offset job and the rank job see the same layout. ---
+VOCAB_RANK_PARTS = 32
+
+
+def _two_phase_rank(
+    df: DataFrame, order: list, rank_alias: str, n_parts: int = VOCAB_RANK_PARTS
+) -> DataFrame:
+    """Exact global row_number() over ``order`` without a single-partition
+    window: repartitionByRange + local rank + per-range offsets."""
+    from pyspark.storagelevel import StorageLevel
+
+    ranged = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("_rpid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = {
+        r["_rpid"]: r["n"]
+        for r in ranged.groupBy("_rpid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off_df = ranged.sparkSession.createDataFrame(offsets, "_rpid int, _off long")
+    wloc = Window.partitionBy("_rpid").orderBy(*order)
+    return (
+        ranged.withColumn("_lrn", F.row_number().over(wloc))
+        .join(F.broadcast(off_df), "_rpid")
+        .withColumn(rank_alias, F.col("_lrn") + F.col("_off"))
+        .drop("_rpid", "_lrn", "_off")
+    )
+
+
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
         F.length("word") > 0
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.desc("freq"), F.asc("word"))
-    return counts.withColumn(
-        "token_id", (F.row_number().over(w) + F.lit(4)).cast("int")
+    ranked = _two_phase_rank(counts, [F.desc("freq"), F.asc("word")], "rank")
+    return ranked.select(
+        "word", "freq", (F.col("rank") + F.lit(4)).cast("int").alias("token_id")
     )
 
 
@@ -510,10 +655,17 @@ def q_to_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    wv = Window.orderBy(F.desc("freq"), F.asc("word"))
-    vocab = counts.withColumn(
+    # only the top-TOP_WORDS matter: push the top-k down as orderBy().limit()
+    # (TakeOrderedAndProject — parallel partial top-k) and number the ≤ k
+    # survivors, instead of ranking the ENTIRE vocabulary through one window
+    # partition just to discard all but k rows.
+    top = counts.orderBy(F.desc("freq"), F.asc("word")).limit(TOP_WORDS)
+    wv = Window.partitionBy(one_part(F.col("freq"))).orderBy(
+        F.desc("freq"), F.asc("word")
+    )
+    vocab = top.withColumn(
         "token_id", (F.row_number().over(wv) + F.lit(4)).cast("int")
-    ).filter(F.col("token_id") < 5 + TOP_WORDS)
+    )
     mapped = words.join(F.broadcast(vocab.select("word", "token_id")), "word", "left")
     ids = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
@@ -604,19 +756,59 @@ GROUP BY th
 
 
 # --- seeded sample / split (HDFS/data_process.py:109 sample(frac,seed);
-# sample.py:93-96 train_test_split(seed)) — sampling is engine-specific so
-# these are rows-only checks; determinism is asserted in tests. --------------
-def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "orders").sample(fraction=0.1, seed=20).select(
-        "o_orderkey", "o_totalprice"
+# sample.py:93-96 train_test_split(seed)). The reference pins an RNG seed for
+# reproducibility; the Spark-first equivalent is a KEY-HASH sampler
+# (md5(key:seed) mod 100): same deterministic-subset contract, but stable
+# under ANY parallelism/partitioning (engine RNG sampling is split-order-
+# dependent) and engine-portable — which also makes it oracle-checkable.
+# DataFrame .sample()/.randomSplit() remain available where per-run RNG is
+# wanted. ---------------------------------------------------------------------
+SAMPLE_SEED = 20
+SPLIT_SEED = 1234
+
+
+def _hash_bucket(key, seed: int) -> "F.Column":
+    """Deterministic 0-99 bucket from md5(key ':' seed) — same construction
+    as the mask_tokens coin (operators/text.py)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
     )
+
+
+def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.filter(
+        _hash_bucket(F.col("o_orderkey"), SAMPLE_SEED) < 10
+    ).select("o_orderkey", "o_totalprice")
+
+
+_SAMPLE_SQL = f"""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE ('0x' || substr(md5(o_orderkey || ':{SAMPLE_SEED}'), 1, 6))::int % 100 < 10
+"""
 
 
 def q_seeded_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    train, test = t(spark, sf_dir, "orders").randomSplit([0.8, 0.2], seed=1234)
-    return spark.createDataFrame(
-        [("train", train.count()), ("test", test.count())], "split string, n long"
-    )
+    orders = t(spark, sf_dir, "orders")
+    split = F.when(
+        _hash_bucket(F.col("o_orderkey"), SPLIT_SEED) < 80, F.lit("train")
+    ).otherwise(F.lit("test"))
+    return orders.groupBy(split.alias("split")).agg(F.count(F.lit(1)).alias("n"))
+
+
+_SPLIT_SQL = f"""
+SELECT CASE WHEN ('0x' || substr(md5(o_orderkey || ':{SPLIT_SEED}'), 1, 6))::int % 100 < 80
+            THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
 
 
 # --- R1-R3 shape: the engine's single-scan column-stats pack, expressed over
@@ -692,6 +884,7 @@ QUERIES = {
     "sort_by_length": q_sort_by_length,
     "union_dedup": q_union_dedup,
     "regex_hash_pack": q_regex_hash_pack,
+    "param_extract": q_param_extract,
     "vocab_build": q_vocab_build,
 }
 
@@ -699,7 +892,8 @@ ORACLES = {
     "pricing_summary": _Q1_SQL,
     "to_seq": _TOSEQ_SQL,
     "threshold_grid": _GRID_SQL,
-    # seeded_sample / seeded_split: engine-specific RNG → rows-only
+    "seeded_sample": _SAMPLE_SQL,
+    "seeded_split": _SPLIT_SQL,
     "column_stats": _COLSTATS_SQL,
     "drift_hist": _DRIFTHIST_SQL,
     "group_collect_ordered": _A1_SQL,
@@ -722,5 +916,6 @@ ORACLES = {
     "sort_by_length": _W3_SQL,
     "union_dedup": _UNION_SQL,
     "regex_hash_pack": _REGEX_SQL,
+    "param_extract": _PARAM_SQL,
     "vocab_build": _VOCAB_SQL,
 }

@@ -3,16 +3,29 @@
 * brute-force cosine top-k — the exactness baseline: query×candidate join,
   dot products via zip_with/aggregate (JVM-side, no Python);
 * LSH-bucketed ANN — the scale path: deterministic random-hyperplane
-  signatures, candidates only within matching buckets.
+  signatures, candidates only within matching buckets;
+* IVF ANN — the other scale path: K inverted lists, search probes only the
+  nprobe nearest lists;
+* embedding near-dup — LSH-bucket candidates + exact verify (never an
+  all-pairs theta join).
 
-At 100 TB the brute-force variant is only for small query sets against a
-broadcastable candidate slice; the LSH variant keeps the join keyed on the
-signature so the shuffle is bucket-sized.
+Scale shapes (the parts that must survive 10^12 vectors):
+* LSH bucketing is a SINGLE narrow projection: the hyperplane matrix is a
+  deterministic driver-side constant embedded ONCE as an array literal, and
+  each row computes all of its table-buckets with per-row array expressions
+  — zero extra shuffles, zero row blowup (the previous posexplode(dim) +
+  two-groupBy formulation shuffled dim× the table twice).
+* IVF assignment is the same trick: the K×dim centroid matrix is a broadcast
+  literal and the argmax is computed WITHIN the row, instead of
+  crossJoin(K) + a per-vector window (K× row blowup + shuffle).
+* The only shuffles anywhere are keyed joins on bucket/list ids.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log_anomaly_detector_spark.operators.relational import t
@@ -27,9 +40,15 @@ def _dot(a, b):
     )
 
 
+def _cos(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the first N_QUERIES vectors. All arithmetic
-    on array<double> with a sequential fold — deterministic, oracle-safe."""
+    on array<double> with a sequential fold — deterministic, oracle-safe.
+    Acceptable at scale only because the query side is bounded (N_QUERIES);
+    the full-corpus paths are q_ann_lsh / q_ann_ivf."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -37,11 +56,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
-    cos = F.round(
-        _dot(F.col("qv"), F.col("cv"))
-        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
-        6,
-    )
+    cos = F.round(_cos(F.col("qv"), F.col("cv")), 6)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
         q.join(c, F.col("q_id") != F.col("c_id"))
@@ -67,48 +82,60 @@ QUALIFY rank <= {TOP_K}
 """
 
 
-# multi-table random-hyperplane LSH: L independent tables of P planes each.
-# One table of many planes has vanishing recall for ~60-degree neighbors
-# (P(match) = (1 - θ/π)^planes), so candidates are the UNION over tables —
-# the standard (k, L) construction. Recall at sf0.01 vs exact top-5: ~0.9.
+# --- random-hyperplane LSH ---------------------------------------------------
+# multi-table construction: L independent tables of P planes each; candidates
+# are the union over tables (P(match per table) = (1 - θ/π)^P).
 N_TABLES = 12
 PLANES_PER_TABLE = 4
 
 
-def _plane_table(spark: SparkSession, dim: int) -> DataFrame:
-    """Deterministic hyperplanes: sign(xxhash64(t, k, i)) — tiny
-    (L × P × dim), always broadcast."""
-    tables = spark.range(N_TABLES).select(F.col("id").alias("tbl"))
-    planes = spark.range(PLANES_PER_TABLE).select(F.col("id").alias("k"))
-    dims = spark.range(dim).select(F.col("id").alias("i"))
-    return tables.crossJoin(planes).crossJoin(dims).select(
-        "tbl",
-        "k",
-        "i",
-        (F.pmod(F.xxhash64(F.col("tbl"), F.col("k"), F.col("i")), F.lit(2)) * 2 - 1)
-        .cast("double")
-        .alias("sign"),
+def _plane_signs(n_tables: int, planes: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane matrix, flattened [tbl][plane][dim] —
+    md5-parity seeded, identical on every run/driver. Tiny (L×P×dim) and
+    embedded in the plan as ONE array literal."""
+    return [
+        1.0 if int(hashlib.md5(f"{t}:{k}:{i}".encode()).hexdigest(), 16) % 2 else -1.0
+        for t in range(n_tables)
+        for k in range(planes)
+        for i in range(dim)
+    ]
+
+
+def _bucket_array(v: Column, dim: int, n_tables: int, planes: int) -> Column:
+    """array<bigint> of length n_tables: per-table LSH bucket for vector `v`,
+    computed entirely within the row (bucket = Σ_k [v·plane_k > 0]·2^k).
+    The plane matrix literal appears ONCE in the expression tree."""
+    flat = F.lit(_plane_signs(n_tables, planes, dim))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda tt: F.aggregate(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, kk: acc
+            + F.when(
+                _dot(v, F.slice(flat, tt * (planes * dim) + kk * dim + 1, dim)) > 0,
+                F.pow(F.lit(2.0), kk).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
     )
 
 
-def _lsh_buckets(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """(vec_id, tbl, bucket) — one row per vector per table."""
-    dim = emb.select(F.size("v").alias("d")).first()["d"]
-    comp = emb.select("vec_id", F.posexplode("v").alias("i", "x")).join(
-        F.broadcast(_plane_table(spark, dim)), "i"
-    )
-    return (
-        comp.groupBy("vec_id", "tbl", "k")
-        .agg(F.sum(F.col("x") * F.col("sign")).alias("proj"))
-        .groupBy("vec_id", "tbl")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("proj") > 0, F.expr("shiftleft(1L, cast(k as int))")
-                ).otherwise(F.lit(0))
-            ).alias("bucket")
+def _lsh_buckets(
+    emb: DataFrame, dim: int, n_tables: int = N_TABLES, planes: int = PLANES_PER_TABLE
+) -> DataFrame:
+    """(vec_id, tbl, bucket) — one narrow projection + posexplode over the
+    (short) per-table bucket array; NO shuffle, NO dim× row blowup."""
+    return emb.select(
+        "vec_id", F.posexplode(_bucket_array(F.col("v"), dim, n_tables, planes)).alias(
+            "tbl", "bucket"
         )
     )
+
+
+def _emb_dim(emb: DataFrame) -> int:
+    # schema-level when available; otherwise one 1-row probe (driver-side,
+    # once per query build — never per row)
+    return emb.select(F.size("v").alias("d")).first()["d"]
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +144,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    buckets = _lsh_buckets(spark, emb)
+    buckets = _lsh_buckets(emb, _emb_dim(emb))
     q = buckets.join(
         emb.filter(F.col("vec_id") < N_QUERIES), "vec_id"
     ).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "tbl", "bucket")
@@ -129,11 +156,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["q_id", "c_id"])  # union over tables
         .join(emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv")), "c_id")
     )
-    cos = F.round(
-        _dot(F.col("qv"), F.col("cv"))
-        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
-        6,
-    )
+    cos = F.round(_cos(F.col("qv"), F.col("cv")), 6)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
         cand.select("q_id", "c_id", cos.alias("cosine"))
@@ -178,28 +201,42 @@ GROUP BY 1, 2
 """
 
 
-# --- embedding-cosine near-dup dedup: all pairs above a high cosine
-# threshold (the embedding analogue of MinHash near-dup). Brute force is fine
-# at oracle scale; the LSH-bucketed variant (q_ann_lsh) is the scale path. ---
+# --- embedding-cosine near-dup dedup: all pairs above a cosine threshold
+# (the embedding analogue of MinHash near-dup). BUCKET-FIRST: candidates come
+# from a dedicated LSH family (more tables, fewer planes — tuned so recall at
+# τ=0.45 is 1.0: P(miss) = (1-(1-θ/π)^2)^24 ≈ 2e-6 per true pair), verified
+# exactly within buckets. The DuckDB oracle is the brute-force cross join —
+# exactness of the bucketed plan is thereby checked at every sf the driver
+# runs; the Spark plan never theta-joins two unbounded sides. ----------------
+ND_THRESHOLD = 0.45
+ND_TABLES = 24
+ND_PLANES = 2
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
-        6,
+    buckets = _lsh_buckets(emb, _emb_dim(emb), ND_TABLES, ND_PLANES)
+    a = buckets.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+    b = buckets.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
+    paired = cand.join(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    cos = F.round(_cos(F.col("va"), F.col("vb")), 6)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
+        paired.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= ND_THRESHOLD)
     )
 
 
-_EMB_NEARDUP_SQL = """
+_EMB_NEARDUP_SQL = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v)
@@ -208,56 +245,67 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-            6) >= 0.45
+            6) >= {ND_THRESHOLD}
 """
 
 
 # --- IVF ANN: the other scale path for similarity search. Deterministic
-# build: K seed centroids (first K vectors) + ONE Lloyd refinement, both as
-# pure DataFrame ops (assignment = broadcast join + argmax window; centroid
-# update = posexplode + per-dim mean + ordered re-collect). Search probes the
-# nprobe nearest inverted lists only — at 10^12 vectors the exact-scoring
-# join touches ~nprobe/K of the table instead of all of it. -------------------
+# build: K seed centroids (first K vectors) + ONE Lloyd refinement. The
+# centroid matrix lives on the driver (K×dim — tiny by construction) and is
+# embedded as an array literal, so ASSIGNMENT IS A PER-ROW EXPRESSION: sims =
+# transform(seq(K), c -> cos(v, centroid_c)); cid = argmax — no crossJoin row
+# blowup, no per-vector window, zero added shuffle. The Lloyd update is one
+# grouped agg (per-dim sums as K×dim tiny partials). Search probes the nprobe
+# nearest inverted lists only — at 10^12 vectors the exact-scoring join
+# touches ~nprobe/K of the table instead of all of it. ------------------------
 N_CENTROIDS = 16
 N_PROBE = 4
 
 
-def _cos(a, b):
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
-
-
-def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, cid) — nearest centroid by cosine; broadcast K×dim table."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "v", "cid", _cos(F.col("v"), F.col("cv")).alias("sim")
+def _sims_to_centroids(v: Column, cents: list[list[float]]) -> Column:
+    """array<double> of cosine(v, centroid_c) — centroid matrix embedded once."""
+    k, dim = len(cents), len(cents[0])
+    flat = F.lit([x for c in cents for x in c])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda cc: _cos(v, F.slice(flat, cc * dim + 1, dim)),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+
+
+def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, v, cid): nearest centroid by cosine, argmax computed within
+    the row; ties → lowest cid (array_position finds the first max)."""
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
-    )
-
-
-def build_ivf(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Returns (centroids(cid, cv), index(vec_id, v, cid))."""
-    c0 = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    a0 = _assign(emb, c0)
-    # one Lloyd step: per-dim mean of each cluster, arrays rebuilt in order
-    comp = a0.select("cid", F.posexplode("v").alias("dim", "x"))
-    c1 = (
-        comp.groupBy("cid", "dim")
-        .agg(F.avg("x").alias("mx"))
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mx"))),
-                lambda s: s["mx"],
-            ).alias("cv")
+        emb.withColumn("_sims", _sims_to_centroids(F.col("v"), cents))
+        .withColumn(
+            "cid",
+            (F.array_position(F.col("_sims"), F.array_max("_sims")) - 1).cast("int"),
         )
+        .drop("_sims")
     )
+
+
+def build_ivf(emb: DataFrame) -> tuple[list[list[float]], DataFrame]:
+    """Returns (centroids as driver-side K×dim floats, index(vec_id, v, cid)).
+
+    Centroid collection is O(K×dim) driver data — the analogue of a trained
+    coarse quantizer, which IS driver/broadcast state in any IVF system."""
+    dim = _emb_dim(emb)
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).orderBy("vec_id").collect()
+    c0 = [list(r["v"]) for r in seeds]
+    a0 = _assign(emb, c0)
+    # one Lloyd step: per-dim mean of each cluster — K×dim tiny partial aggs
+    sums = a0.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+    )
+    c1_rows = {r["cid"]: r for r in sums.collect()}
+    c1 = [
+        [c1_rows[c][f"s{i}"] / c1_rows[c]["n"] for i in range(dim)]
+        if c in c1_rows
+        else c0[c]
+        for c in range(N_CENTROIDS)
+    ]
     return c1, _assign(emb, c1)
 
 
@@ -267,18 +315,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    centroids, index = build_ivf(emb)
+    cents, index = build_ivf(emb)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    qc = q.crossJoin(F.broadcast(centroids)).select(
-        "q_id", "qv", "cid", _cos(F.col("qv"), F.col("cv")).alias("csim")
-    )
-    wprobe = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
+    # probe list per query: top-nprobe centroid ids, computed within the row
+    # (sort (−sim, cid) structs → slice) — no crossJoin, no window
     probes = (
-        qc.withColumn("rn", F.row_number().over(wprobe))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("q_id", "qv", "cid")
+        q.withColumn("_sims", _sims_to_centroids(F.col("qv"), cents))
+        .select(
+            "q_id",
+            "qv",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.transform(
+                                F.col("_sims"),
+                                lambda s, i: F.struct(
+                                    (-s).alias("neg"), i.alias("cid")
+                                ),
+                            )
+                        ),
+                        1,
+                        N_PROBE,
+                    ),
+                    lambda st: st["cid"],
+                )
+            ).alias("cid"),
+        )
     )
     cand = probes.join(
         index.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv_"), "cid"),
@@ -304,7 +369,7 @@ QUERIES = {
 
 ORACLES = {
     "cosine_topk": _COSINE_SQL,
-    # ann_lsh: approximate by design → rows-only
+    # ann_lsh / ann_ivf: approximate by design → rows-only
     "embedding_mean": _EMB_MEAN_SQL,
     "embedding_near_dup": _EMB_NEARDUP_SQL,
 }

@@ -26,8 +26,11 @@ WILDCARD = "<*>"
 
 def _seq_sim(line_toks, tmpl_toks):
     """(similarity, n_wildcards) — Drain.py:151-165 semantics: equal position
-    counts 1, template wildcard counts as parameter (not similarity)."""
-    eq = F.zip_with(line_toks, tmpl_toks, lambda a, b: (a == b).cast("int"))
+    counts 1, template wildcard counts as parameter (never similarity, even
+    when the line token is itself the literal '<*>')."""
+    eq = F.zip_with(
+        line_toks, tmpl_toks, lambda a, b: ((a == b) & (b != WILDCARD)).cast("int")
+    )
     n_eq = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x)
     n_par = F.size(F.filter(tmpl_toks, lambda t: t == F.lit(WILDCARD)))
     return n_eq / F.size(line_toks), n_par

@@ -155,10 +155,23 @@ GROUP BY prefix_fp HAVING count(*) > 1
 """
 
 
-# --- n-gram (3-word shingle) Jaccard near-dup: shingle → explode →
-# self-join on shingle → intersection counts → |A∪B| from sizes. Never a
-# doc×doc cross join: the shuffle key is the shingle, and since real shingles
-# are near-unique the join output is ~only the true near-dup pairs. -----------
+# --- n-gram (3-word shingle) Jaccard near-dup: PREFIX-FILTERED set-
+# similarity join (the PPJoin family's prefix principle): order every doc's
+# shingle set by one global canonical order (xxhash64), index only the first
+# ⌊(1−J)·|set|⌋+1 shingles — any pair with Jaccard ≥ J MUST collide inside
+# those prefixes, for ANY fixed total order — then verify candidates exactly
+# on their full shingle sets (array_intersect, a per-row expression). This
+# prunes the candidate join quadratically vs joining on every shingle. A
+# document-frequency cap on the prefix join is the hot-shingle skew defusal:
+# a boilerplate 3-gram shared by millions of docs would make one join group
+# quadratic. Documented compromise: a pair whose shared PREFIX shingles are
+# all hotter than the cap is not reported (standard df-cap semantics). On the
+# driver's testdata no shingle exceeds the cap, so the UNCAPPED brute-force
+# DuckDB oracle must match exactly. -------------------------------------------
+SHINGLE_DF_CAP = 1000
+JACCARD_THRESHOLD = 0.7
+
+
 def shingles(text_col) -> "F.Column":
     """Distinct 3-word shingles (whole doc if < 3 words)."""
     w = words(text_col)
@@ -170,31 +183,62 @@ def shingles(text_col) -> "F.Column":
     )
 
 
+def _hash_ordered_shingles(text_col) -> "F.Column":
+    """Shingle set sorted by the global canonical order (xxhash64) — the
+    prefix of this array is the PPJoin index prefix."""
+    return F.transform(
+        F.array_sort(
+            F.transform(
+                shingles(text_col),
+                lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")),
+            )
+        ),
+        lambda st: st["s"],
+    )
+
+
 def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
-    # set sizes as a per-doc array expression — NOT explode+count, which would
-    # re-materialize the 3-gram explosion a third time
-    sizes = docs.select("doc_id", F.size(shingles(F.col("text"))).alias("sz"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
+    from pyspark.storagelevel import StorageLevel
+
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    # ^ testdata parquet arrives as ONE split; the cheap doc_id repartition
+    # parallelizes the shingle explosion (raw text rows are small). Persist:
+    # the set table is read by both the candidate and the verify side.
+    sets_ = docs.select(
+        "doc_id", _hash_ordered_shingles(F.col("text")).alias("shs")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pfx_len = (
+        F.floor(F.size("shs") * (1 - JACCARD_THRESHOLD)) + 1
+    ).cast("int")
+    pfx = sets_.select("doc_id", F.explode(F.slice("shs", 1, pfx_len)).alias("sh"))
+    # skew defusal: drop prefix shingles with df > cap from candidate
+    # generation (no broadcast hint — AQE broadcasts the normally-tiny set)
+    hot = (
+        pfx.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    rare_pfx = pfx.join(hot, "sh", "left_anti")
+    a, b = rare_pfx.alias("a"), rare_pfx.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.round(
-        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-    )
+    # exact verify on the full shingle sets, intersected WITHIN the row
+    sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = F.round(inter / (F.size("shs_a") + F.size("shs_b") - inter), 6)
     return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.7)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
@@ -228,11 +272,13 @@ N_BANDS = 4  # 4 rows per band
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig array<bigint>) — min over xxhash64(shingle, k) per k.
-    One explode + one hash-agg; zero Python."""
+    """(doc_id, sig array<bigint>) — min over md5-derived h(shingle:k) per k.
+    One explode + one hash-agg; zero Python. md5 construction (vs xxhash64)
+    so the whole sketch evaluates identically in DuckDB → hard oracle."""
     toks = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("w"))
     mins = [
-        F.min(F.xxhash64(F.col("w"), F.lit(k))).alias(f"h{k}") for k in range(N_HASHES)
+        F.min(_md5_int60(F.concat(F.col("w"), F.lit(f":{k}")))).alias(f"h{k}")
+        for k in range(N_HASHES)
     ]
     sig = toks.groupBy("doc_id").agg(*mins)
     return sig.select(
@@ -241,10 +287,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs verified by signature similarity. Approximate by
-    design → rows-only driver check (no SQL oracle); determinism comes from
-    xxhash64. Scale shape: band-hash shuffle + per-bucket pairing only."""
-    docs = t(spark, sf_dir, "documents")
+    """LSH candidate pairs verified by signature similarity — md5-seeded so
+    the ENTIRE sketch (signatures, band buckets, estimate) has a bit-exact
+    DuckDB oracle. Scale shape: band-hash shuffle + per-bucket pairing only,
+    never all-pairs."""
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    # ^ single-split testdata: parallelize the shingle explosion
     sig = minhash_signatures(docs)
     rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(
@@ -255,8 +303,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("bh"),
                     )
                     for b in range(N_BANDS)
@@ -295,14 +349,54 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_EXPR = """unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(trim(text), ' +')) - 2, 1) + 1),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), ' +'), i, i + 2), ' ')
+         )))"""
+_RPB = N_HASHES // N_BANDS
+_MINHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SHINGLE_EXPR} AS w FROM documents
+), sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(('0x' || substr(md5(w || ':{k}'), 1, 15))::bigint) AS h{k}" for k in range(N_HASHES))}
+  FROM toks GROUP BY doc_id
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, md5(concat_ws(':', "
+      + ", ".join(f"h{b * _RPB + r}" for r in range(_RPB))
+      + ")) AS bh FROM sig"
+      for b in range(N_BANDS)
+  )}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(({" + ".join(f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(N_HASHES))}) / {float(N_HASHES)}, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE ({" + ".join(f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(N_HASHES))}) / {float(N_HASHES)} >= 0.5
+"""
+
+
 # --- SimHash (16-bit) bucketing ------------------------------------------------
+def _md5_int60(col) -> "F.Column":
+    """Deterministic 60-bit non-negative int from md5 — engine-portable (the
+    same construction evaluates identically in DuckDB), which is what makes
+    the sketch queries oracle-checkable."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 16-bit SimHash per doc: per-word hash bit votes summed
-    JVM-side (16 conditional aggregates), assembled into an int. Rows-only
-    (xxhash64 has no DuckDB equivalent)."""
+    JVM-side (16 conditional aggregates), assembled into an int. md5-derived
+    bits → bit-exact DuckDB oracle."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w")).withColumn(
-        "h", F.xxhash64("w")
+        "h", _md5_int60(F.col("w"))
     )
     votes = [
         F.sum(
@@ -316,6 +410,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("int").alias("simhash16"))
+
+
+_SIMHASH_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::bigint AS h FROM w
+), v AS (
+  SELECT doc_id,
+         {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(16))}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       cast({" + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))} AS int) AS simhash16
+FROM v
+"""
 
 
 # --- masked-token / label build (bert_pytorch/dataset/log_dataset.py:50-96
@@ -389,8 +500,9 @@ FROM m GROUP BY doc_id
 # --- J8 driver-contract entry: Drain-style fuzzy template matching over
 # documents-derived lines/templates (operators/template_match.py). Templates
 # are the 5-word prefixes of the first 25 docs with position 3 wildcarded;
-# every doc's 5-word prefix is a line. Rows-only (the positional-similarity
-# argmax is not reasonably ANSI-SQL-expressible); semantics golden-tested in
+# every doc's 5-word prefix is a line. The candidate join + positional
+# similarity + argmax is ANSI-expressible (list lambdas + QUALIFY) → hard
+# DuckDB oracle; semantics additionally golden-tested in
 # tests/test_template_match.py. ----------------------------------------------
 def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_anomaly_detector_spark.operators.template_match import match_templates
@@ -411,6 +523,43 @@ def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_templates(lines, templates, st=0.6)
 
 
+_TMATCH_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+), lines AS (
+  SELECT doc_id AS line_id, list_slice(w, 1, 5) AS ltok FROM toks
+), tmpl AS (
+  SELECT 'T' || doc_id AS tid,
+         list_concat(list_concat(list_slice(w, 1, 2), ['<*>']), list_slice(w, 4, 5)) AS ttok
+  FROM toks WHERE doc_id < 25
+), scored AS (
+  SELECT l.line_id,
+         t.tid,
+         CASE WHEN t.ttok IS NOT NULL THEN
+           round(len(list_filter(range(1, len(l.ltok) + 1),
+                                 i -> t.ttok[i] != '<*>' AND l.ltok[i] = t.ttok[i]))
+                 / len(l.ltok), 6)
+         END AS sim,
+         CASE WHEN t.ttok IS NOT NULL THEN
+           len(list_filter(t.ttok, x -> x = '<*>'))
+         END AS npar
+  FROM lines l LEFT JOIN tmpl t
+    ON len(t.ttok) = len(l.ltok)
+   AND (t.ttok[1] = l.ltok[1] OR t.ttok[1] = '<*>')
+)
+SELECT line_id,
+       CASE WHEN sim >= 0.6 THEN tid END AS matched_template_id,
+       sim AS similarity
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY line_id
+    ORDER BY sim DESC NULLS LAST, npar DESC NULLS LAST, tid
+  ) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "mask_tokens": q_mask_tokens,
@@ -427,10 +576,12 @@ QUERIES = {
 ORACLES = {
     "token_count": _TOKCOUNT_SQL,
     "mask_tokens": _MASK_SQL,
+    "template_match": _TMATCH_SQL,
     "quality_score": _QUALITY_SQL,
     "langid": _LANGID_SQL,
     "doc_fingerprint": _FP_SQL,
     "exact_dup_groups": _EXACTDUP_SQL,
     "jaccard_near_dup": _JACCARD_SQL,
-    # minhash_lsh_pairs, simhash: xxhash64-based → rows-only checks
+    "minhash_lsh_pairs": _MINHASH_SQL,
+    "simhash": _SIMHASH_SQL,
 }

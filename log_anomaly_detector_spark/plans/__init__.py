@@ -5,4 +5,5 @@ codegen spans)."""
 from log_anomaly_detector_spark.plans.inspect import (  # noqa: F401
     formatted_plan,
     plan_facts,
+    unpartitioned_windows,
 )

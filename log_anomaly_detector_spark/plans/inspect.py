@@ -41,3 +41,45 @@ def plan_facts(df: DataFrame, execute: bool = False) -> dict[str, bool | int]:
         "codegen_stages": codegen,
         "partial_agg": "partial_" in plan or "HashAggregate" in plan,
     }
+
+
+def _top_level_groups(s: str) -> int:
+    """Count top-level [...] groups in a node's Arguments string."""
+    depth = 0
+    groups = 0
+    for ch in s:
+        if ch in "[(":
+            if ch == "[" and depth == 0:
+                groups += 1
+            depth += 1
+        elif ch in "])":
+            depth = max(depth - 1, 0)
+    return groups
+
+
+def unpartitioned_windows(df: DataFrame) -> int:
+    """Number of Window nodes with an EMPTY partition spec — the plan shape
+    Spark itself warns about ("No Partition Defined ... moving all data to a
+    single partition"). A healthy contract query has zero: bounded inputs get
+    an explicit constant key (operators.relational.one_part), unbounded ones
+    a real key or two-phase ranking.
+
+    Detection: in the formatted plan a Window node's Arguments are
+    ``[windowExprs], [partitionSpec], [orderSpec]`` — the partition group is
+    simply MISSING (2 top-level groups) when empty."""
+    plan = formatted_plan(df)
+    sections = plan.split("\n\n")
+    n = 0
+    for sec in sections:
+        lines = sec.strip().splitlines()
+        if not lines:
+            continue
+        # exact node name match — "WindowGroupLimit" (top-k pushdown) takes
+        # [partition], [order] (2 groups) and must not false-positive
+        header = lines[0]
+        if not header.split() or header.split()[-1] != "Window":
+            continue
+        args = next((ln for ln in lines if ln.startswith("Arguments:")), "")
+        if _top_level_groups(args) < 3:
+            n += 1
+    return n

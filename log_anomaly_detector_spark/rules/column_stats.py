@@ -100,12 +100,19 @@ def stats_verdicts(
                 "threshold": cfg.max_null_rate,
             }
         )
-        mean = round(float(r["n_tok_mean"]), dp)
-        stats_ok = (
-            r["n_tok_min"] >= cfg.n_tok_min_allowed
-            and r["n_tok_max"] <= cfg.n_tok_max_allowed
-            and cfg.n_tok_mean_lo <= mean <= cfg.n_tok_mean_hi
-        )
+        if r["n_tok_mean"] is None:
+            # all-NULL n_tok partition: min/max/mean aggregates are NULL —
+            # that's a failed n_tok_stats rule, not a crash (the null_rate
+            # rule flags the same partition independently).
+            mean = float("nan")
+            stats_ok = False
+        else:
+            mean = round(float(r["n_tok_mean"]), dp)
+            stats_ok = (
+                r["n_tok_min"] >= cfg.n_tok_min_allowed
+                and r["n_tok_max"] <= cfg.n_tok_max_allowed
+                and cfg.n_tok_mean_lo <= mean <= cfg.n_tok_mean_hi
+            )
         out.append(
             {
                 "part_id": pid,

@@ -31,10 +31,20 @@ _CAND = "_token_eq_candidate"
 
 
 def fused_row_violations(
-    seqs: DataFrame, snapshot: DataFrame, allowed: DataFrame
+    seqs: DataFrame,
+    snapshot: DataFrame,
+    allowed: DataFrame,
+    dups: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (violations, cache_handle) — caller unpersists the handle
-    after materializing the violations."""
+    after materializing the violations.
+
+    ``dups`` (doc_id, dup_cnt), when given, is the duplicate-key set computed
+    over the FULL table (engine job 0) so duplicates spanning checkpoint
+    batches are caught; on the doc_id-bucketed layout that join is co-located
+    (no Exchange) just like the snapshot join. Without ``dups`` the count
+    falls back to a window over ``seqs`` itself (standalone single-batch use).
+    """
     joined = seqs.join(
         snapshot.select("doc_id", "ref_tokens"), "doc_id", "left"
     ).join(
@@ -42,11 +52,18 @@ def fused_row_violations(
         "source",
         "left",
     )
-    # window computed as its own projection first — Spark cannot resolve a
-    # window expression nested inside the explode/filter lambda below
-    joined = joined.withColumn(
-        "_dup_cnt", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
+    if dups is None:
+        # window computed as its own projection first — Spark cannot resolve
+        # a window expression nested inside the explode/filter lambda below
+        joined = joined.withColumn(
+            "_dup_cnt", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    else:
+        joined = joined.join(
+            dups.select("doc_id", F.col("dup_cnt").alias("_dup_cnt")),
+            "doc_id",
+            "left",
+        )
     dup_cnt = F.col("_dup_cnt")
 
     def v(cond, rule_id, observed, expected):

@@ -54,9 +54,17 @@ def duplicate_keys(df: DataFrame, cfg: RuleConfig) -> DataFrame:
     )
 
 
-def uniqueness_violations(df: DataFrame, cfg: RuleConfig) -> DataFrame:
-    """Violation rows: every physical row whose doc_id is duplicated."""
-    dups = duplicate_keys(df, cfg)
+def uniqueness_violations(
+    df: DataFrame, cfg: RuleConfig, dups: DataFrame | None = None
+) -> DataFrame:
+    """Violation rows: every physical row of ``df`` whose doc_id is
+    duplicated. ``dups`` may be precomputed over the FULL table (the engine
+    does, once per run) so duplicates straddling checkpoint batches — or a
+    done partition vs a resumed one — are still caught; the reference treats
+    block_id as a global PRIMARY KEY (init_schema.sql:12), not a per-batch
+    one. Without ``dups`` the scope is just ``df`` (standalone use)."""
+    if dups is None:
+        dups = duplicate_keys(df, cfg)
     return (
         df.select("part_id", "doc_id")
         .join(dups, "doc_id", "inner")

@@ -59,6 +59,12 @@ def read_structured_logs(
     raw = spark.read.text(path).withColumn(
         "LineId", F.monotonically_increasing_id()
     )
+    # non-ASCII scrub BEFORE header extraction — reference replaces runs of
+    # non-ASCII bytes with the <NASCII> sentinel on the raw line
+    # (logparser/Spell.py:297)
+    raw = raw.withColumn(
+        "value", F.regexp_replace(F.col("value"), r"[^\x00-\x7F]+", "<NASCII>")
+    )
     cols = [
         F.regexp_extract(F.col("value"), pattern, i + 1).alias(h)
         for i, h in enumerate(headers)

@@ -79,6 +79,23 @@ def overwrite_partitions(df: DataFrame, path: str, part_ids: list[int]) -> None:
     df.write.mode("append").partitionBy("part_id").parquet(path)
 
 
+def list_partitions(path: str) -> list[int] | None:
+    """part_ids from storage METADATA (hive-style ``part_id=N`` directory
+    listing — the Iceberg analogue is the ``.partitions`` metadata table).
+    Returns None when the layout is not partitioned by part_id, in which case
+    the engine falls back to a distinct scan. Listing is O(partitions) driver
+    work and launches NO Spark job — at 10^12 rows a ``select distinct
+    part_id`` would be a full-column scan just to plan the run."""
+    if not os.path.isdir(path):
+        return None
+    parts = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("part_id=")
+    ]
+    return sorted(parts) if parts else None
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a partitioned parquet table; None if nothing written yet."""
     if not os.path.isdir(path) or not any(
@@ -140,20 +157,37 @@ def manifest_path(out_dir: str) -> str:
 
 
 def read_manifest(out_dir: str) -> list[dict]:
+    """Parse the manifest, skipping an unparseable (torn) trailing line: a
+    crash mid-append must degrade to 'that batch gets revalidated', never to
+    'resume is permanently broken'. A torn line anywhere but the tail is
+    still surfaced (it means external corruption, not a crashed append)."""
     p = manifest_path(out_dir)
     if not os.path.exists(p):
         return []
     with open(p) as f:
-        return [json.loads(line) for line in f if line.strip()]
+        lines = [ln for ln in f if ln.strip()]
+    out: list[dict] = []
+    for i, ln in enumerate(lines):
+        try:
+            out.append(json.loads(ln))
+        except json.JSONDecodeError:
+            if i == len(lines) - 1:
+                continue  # torn tail from a crashed append — revalidate
+            raise
+    return out
 
 
 def append_manifest(out_dir: str, records: list[dict]) -> None:
-    """Atomic-enough append: write to temp then append in one call; each
-    record is one self-describing JSON line (last write wins per part_id)."""
+    """Append all records in ONE os-level write (serialize first, then a
+    single f.write + flush): a crash can tear at most the final line, which
+    read_manifest tolerates. Each record is one self-describing JSON line
+    (last write wins per part_id)."""
     os.makedirs(out_dir, exist_ok=True)
+    payload = "".join(json.dumps(r, sort_keys=True) + "\n" for r in records)
     with open(manifest_path(out_dir), "a") as f:
-        for r in records:
-            f.write(json.dumps(r, sort_keys=True) + "\n")
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
 
 
 def completed_partitions(out_dir: str, input_digest: str, rule_versions: dict) -> set[int]:

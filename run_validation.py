@@ -101,8 +101,14 @@ def main() -> int:
         spark.stop()
         return 0
 
+    part_ids = None
     if args.data_dir:
         d = args.data_dir
+        # partition identity from storage metadata (hive dir listing) — no
+        # data-scan job just to plan the run
+        part_ids = storage.list_partitions(
+            os.path.join(d, "sequences_bucketed")
+        ) or storage.list_partitions(os.path.join(d, "sequences"))
         if os.path.isdir(os.path.join(d, "sequences_bucketed")):
             seqs = storage.register_bucketed(
                 spark, "sequences", storage.SEQ_DDL,
@@ -152,6 +158,7 @@ def main() -> int:
         cfg,
         input_digest=input_digest,
         batch_parts=args.batch_parts,
+        part_ids=part_ids,
     )
     summary = dict(res.metrics)
     summary["labels"] = {str(v["part_id"]): v["label"] for v in res.verdicts}

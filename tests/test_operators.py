@@ -12,7 +12,7 @@ from log_anomaly_detector_spark.operators.relational import (
     q_filter_pack,
     q_pricing_summary,
 )
-from log_anomaly_detector_spark.plans import plan_facts
+from log_anomaly_detector_spark.plans import plan_facts, unpartitioned_windows
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -44,15 +44,11 @@ def test_every_query_has_oracle_or_is_approximate():
     rows_only = set(QUERIES) - set(ORACLES)
     # only genuinely non-SQL-expressible ops may omit the oracle
     assert rows_only == {
-        "hll_distinct",        # HLL++ approximate
-        "minhash_lsh_pairs",   # xxhash64-seeded
-        "simhash",             # xxhash64-seeded
-        "ann_lsh",             # approximate recall
-        "ann_ivf",             # approximate recall
-        "mm_features",         # stubbed decoder
-        "seeded_sample",       # engine-specific RNG
-        "seeded_split",        # engine-specific RNG
-        "template_match",      # positional-similarity argmax (golden-tested)
+        "hll_distinct",         # HLL++ approximate
+        "ann_lsh",              # approximate recall
+        "ann_ivf",              # approximate recall
+        "mm_features",          # stubbed decoder
+        "template_induction",   # iterative fixpoint (golden-gated)
     }
 
 
@@ -71,3 +67,12 @@ def test_agg_is_codegen(spark):
     facts = plan_facts(q_pricing_summary(spark, SF_DIR), execute=True)
     assert facts["codegen_stages"] >= 1
     assert facts["partial_agg"]
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unpartitioned_window(spark, name):
+    """No contract query may plan a zero-partition Window (Spark's own
+    "moving all data to a single partition" warning): bounded inputs get an
+    explicit constant key, unbounded rankings are two-phase."""
+    n = unpartitioned_windows(QUERIES[name](spark, SF_DIR))
+    assert n == 0, f"{name} plans {n} unpartitioned Window node(s)"

@@ -94,15 +94,24 @@ def main() -> int:
             )
             for t in range(min(len(trials[n]), len(trials[n4])))
         ]
+        # headline = MEDIAN paired efficiency: the best pair overstates
+        # scaling on a noisy co-tenanted host; per-trial values stay recorded
+        # as supporting evidence (with host load, below in "trials").
+        med = sorted(paired)[len(paired) // 2] if paired else None
         results["pairs"][pair] = {
             "thr_n": best[n]["rows_per_sec"],
             "thr_4n": best[n4]["rows_per_sec"],
             "factor": n4 / n,
             "efficiency_best_of_sides": round(eff, 3),
             "efficiency_paired_trials": paired,
-            "efficiency": max(paired),
+            "efficiency_best_pair": max(paired) if paired else None,
+            "efficiency": med,
         }
-        print(f"pair {pair}: paired efficiencies {paired} (best-of-sides {eff:.3f})")
+        print(
+            f"pair {pair}: paired efficiencies {paired} "
+            f"(median {med} | best pair {max(paired) if paired else None} "
+            f"| best-of-sides {eff:.3f})"
+        )
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     with open(os.path.join(ROOT, "BENCH", "scaling.json"), "w") as f:
