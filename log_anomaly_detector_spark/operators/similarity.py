@@ -84,8 +84,11 @@ QUALIFY rank <= {TOP_K}
 
 # --- random-hyperplane LSH ---------------------------------------------------
 # multi-table construction: L independent tables of P planes each; candidates
-# are the union over tables (P(match per table) = (1 - θ/π)^P).
-N_TABLES = 12
+# are the union over tables (P(match per table) = (1 - θ/π)^P). (L=24, P=4)
+# measures recall 0.92 vs exact top-5 at sf0.01 (tests gate ≥ 0.5; this
+# synthetic corpus has far neighbors — cosine ~0.3 — so recall costs more
+# tables than a real embedding corpus would need).
+N_TABLES = 24
 PLANES_PER_TABLE = 4
 
 

@@ -65,3 +65,45 @@ def test_warm_start_accumulates(spark, result, tmp_path):
     temps = {r["EventTemplate"]: r["Occurrences"] for r in r2.templates.collect()}
     # warm start: 3 previous + 1 new occurrence of the same template
     assert temps["PacketResponder <*> for block blk_<*> terminating"] == 4
+
+
+def test_induction_pipeline_end_to_end(spark, tmp_path):
+    """v2 lifecycle with LEARNED templates (parse_and_store_log_lines,
+    Drain.py:329-423): warm templates absorb their lines; novel lines found
+    new templates, are flagged anomalous, and their blocks go Anomaly; the
+    new-template slice is the dim-upsert payload."""
+    from log_anomaly_detector_spark.pipeline import run_induction_pipeline
+
+    log = tmp_path / "raw.log"
+    lines = []
+    # 4 known-shape lines on blk_100 (warm template matches)
+    for i in range(4):
+        lines.append(
+            f"081109 2036{i:02d} 143 INFO dfs.DataNode: "
+            f"Receiving block blk_100 src 10.0.0.{i}"
+        )
+    # 2 novel lines on blk_200 → new template → anomalous block
+    for i in range(2):
+        lines.append(
+            f"081109 2037{i:02d} 143 WARN dfs.DataNode: "
+            f"Corrupt frame {i}77 detected on blk_200"
+        )
+    log.write_text("\n".join(lines) + "\n")
+    warm = spark.createDataFrame(
+        [("Receiving block blk_<*> src <*>",)], "template string"
+    )
+    res = run_induction_pipeline(spark, str(log), warm_templates=warm, depth=4)
+
+    t = {r["template"]: r for r in res.templates.collect()}
+    assert t["Receiving block blk_<*> src <*>"]["is_new"] is False
+    assert t["Receiving block blk_<*> src <*>"]["occurrences"] == 4
+    new = [r["template"] for r in res.new_templates.collect()]
+    assert new == ["Corrupt frame <*> detected on blk_<*>"]
+
+    flags = {
+        r["LineId"]: r["is_anomaly"] for r in res.structured.collect()
+    }
+    assert [flags[i] for i in range(6)] == [False] * 4 + [True] * 2
+
+    v = {r["block_id"]: r["label"] for r in res.verdicts.collect()}
+    assert v == {"blk_100": "Normal", "blk_200": "Anomaly"}

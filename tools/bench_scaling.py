@@ -62,6 +62,8 @@ def main() -> int:
     ap.add_argument("--pairs", default="2:8,8:32")
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--run-name", default=None,
+                    help="merge results under this key in scaling.json instead of overwriting")
     args = ap.parse_args()
 
     cores_needed = sorted(
@@ -114,7 +116,18 @@ def main() -> int:
         )
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "scaling.json"), "w") as f:
+    out_path = os.path.join(ROOT, "BENCH", "scaling.json")
+    if args.run_name:
+        # merge as a named run next to previous rounds' evidence
+        merged = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                merged = json.load(f)
+            if "trials" in merged:  # legacy flat layout
+                merged = {"run_legacy": merged}
+        merged[args.run_name] = results
+        results = merged
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print("wrote BENCH/scaling.json")
     return 0
