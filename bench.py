@@ -44,6 +44,14 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "cosine_topk",
     "binary_meta",
+    # round 2 additions (existing keys above keep their round-over-round
+    # comparability)
+    "param_extract",
+    "simhash",
+    "template_match",
+    "embedding_near_dup",
+    "ann_lsh",
+    "seeded_sample",
 ]
 
 ENGINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))

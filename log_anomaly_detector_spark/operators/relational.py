@@ -521,10 +521,17 @@ WILDCARD_TOKEN = "<*>"
 
 def parameter_list(content, template) -> "F.Column":
     """array<string> of parameters of ``content`` under ``template``."""
-    # reference first normalizes short angle tokens to '<*>' (Drain.py:554)
-    tmpl = F.regexp_replace(template, r"<.{1,5}>", "<*>")
+    # reference first normalizes short angle tokens ("<NUM>") to '<*>'
+    # (Drain.py:554) — applied PER TOKEN here: the reference's string-level
+    # greedy `<.{1,5}>` can swallow the space between ADJACENT wildcards
+    # ("blk_<*> <*>" → "blk_<*>"), which breaks token alignment; per-token
+    # normalization keeps the intended effect without the cross-token merge
+    tmpl_toks = F.transform(
+        F.split(template, " "),
+        lambda tk: F.regexp_replace(tk, r"<.{1,5}>", "<*>"),
+    )
     pairs = F.zip_with(
-        F.split(tmpl, " "),
+        tmpl_toks,
         F.split(content, " "),
         lambda tk, c: F.struct(tk.alias("tk"), c.alias("c")),
     )
@@ -559,8 +566,8 @@ SELECT event_id,
        array_to_string(
          list_transform(
            list_filter(
-             list_zip(string_split(regexp_replace(regexp_replace(props, '\d+', '<*>', 'g'),
-                                                  '<.{1,5}>', '<*>', 'g'), ' '),
+             list_zip(list_transform(string_split(regexp_replace(props, '\d+', '<*>', 'g'), ' '),
+                                     tk -> regexp_replace(tk, '<.{1,5}>', '<*>', 'g')),
                       string_split(props, ' ')),
              p -> contains(p[1], '<*>')),
            p -> substring(p[2],
@@ -569,8 +576,8 @@ SELECT event_id,
                             - length(string_split(p[1], '<*>')[1])
                             - length(string_split(p[1], '<*>')[len(string_split(p[1], '<*>'))]))
          ), '|') AS params,
-       cast(len(list_filter(string_split(regexp_replace(regexp_replace(props, '\d+', '<*>', 'g'),
-                                                        '<.{1,5}>', '<*>', 'g'), ' '),
+       cast(len(list_filter(list_transform(string_split(regexp_replace(props, '\d+', '<*>', 'g'), ' '),
+                                           tk -> regexp_replace(tk, '<.{1,5}>', '<*>', 'g')),
                             tk -> contains(tk, '<*>'))) AS int) AS n_params
 FROM events
 """

@@ -152,14 +152,27 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES), "vec_id"
     ).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "tbl", "bucket")
     c = buckets.select(F.col("vec_id").alias("c_id"), "tbl", "bucket")
+    # candidate vectors + their norms arrive via broadcast — array payloads
+    # never shuffle with the candidate stream (see q_embedding_near_dup)
+    cside = F.broadcast(
+        emb.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cn"),
+        )
+    )
     cand = (
         q.join(c, ["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "qv", "c_id")
         .dropDuplicates(["q_id", "c_id"])  # union over tables
-        .join(emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv")), "c_id")
+        .join(cside, "c_id")
     )
-    cos = F.round(_cos(F.col("qv"), F.col("cv")), 6)
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv"))
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.col("cn")),
+        6,
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
         cand.select("q_id", "c_id", cos.alias("cosine"))
@@ -212,7 +225,7 @@ GROUP BY 1, 2
 # exactness of the bucketed plan is thereby checked at every sf the driver
 # runs; the Spark plan never theta-joins two unbounded sides. ----------------
 ND_THRESHOLD = 0.45
-ND_TABLES = 24
+ND_TABLES = 12
 ND_PLANES = 2
 
 
@@ -229,10 +242,35 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify: vectors arrive via BROADCAST (the array payloads never shuffle
+    # with the pair stream) and each vector's norm is computed ONCE on the
+    # broadcast side — dot/(na*nb) evaluates the identical IEEE ops as the
+    # inline cosine, so the 6dp round stays bit-exact vs the DuckDB oracle
+    withn = emb.select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("n")
+    )
     paired = cand.join(
-        emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
-    ).join(emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-    cos = F.round(_cos(F.col("va"), F.col("vb")), 6)
+        F.broadcast(
+            withn.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            )
+        ),
+        "id_a",
+    ).join(
+        F.broadcast(
+            withn.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            )
+        ),
+        "id_b",
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         paired.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= ND_THRESHOLD)
