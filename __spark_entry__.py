@@ -4,8 +4,9 @@
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data ops: dedup, similarity, text analysis,
 multimodal); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (approximate/hash-seeded ops are rows-only by design:
-hll_distinct, minhash_lsh_pairs, simhash, ann_lsh, mm_features).
+SQL-expressible one — 44 of 47; rows-only by design: hll_distinct (sketch
+internals engine-specific), mm_features (stubbed decoder), and
+template_induction (iterative fixpoint, golden-gated in tests).
 """
 
 from __future__ import annotations

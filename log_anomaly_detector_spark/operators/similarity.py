@@ -107,8 +107,15 @@ def _plane_signs(n_tables: int, planes: int, dim: int) -> list[float]:
 def _bucket_array(v: Column, dim: int, n_tables: int, planes: int) -> Column:
     """array<bigint> of length n_tables: per-table LSH bucket for vector `v`,
     computed entirely within the row (bucket = Σ_k [v·plane_k > 0]·2^k).
-    The plane matrix literal appears ONCE in the expression tree."""
+    The plane matrix literal appears ONCE in the expression tree.
+
+    The projection is taken over QUANTIZED components (±floor(x·1e6) integer
+    sum): integer addition is order-free, so the bucket is bit-identical at
+    any parallelism AND across engines — which is what makes the whole ANN
+    query DuckDB-oracle-checkable (same rationale as the engine's money
+    aggregates)."""
     flat = F.lit(_plane_signs(n_tables, planes, dim))
+    vq = F.transform(v, lambda x: F.floor(x * 1e6).cast("long"))
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_tables - 1)),
         lambda tt: F.aggregate(
@@ -116,7 +123,16 @@ def _bucket_array(v: Column, dim: int, n_tables: int, planes: int) -> Column:
             F.lit(0).cast("long"),
             lambda acc, kk: acc
             + F.when(
-                _dot(v, F.slice(flat, tt * (planes * dim) + kk * dim + 1, dim)) > 0,
+                F.aggregate(
+                    F.zip_with(
+                        vq,
+                        F.slice(flat, tt * (planes * dim) + kk * dim + 1, dim),
+                        lambda xq, s: xq * s.cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+                > 0,
                 F.pow(F.lit(2.0), kk).cast("long"),
             ).otherwise(F.lit(0).cast("long")),
         ),
@@ -141,9 +157,50 @@ def _emb_dim(emb: DataFrame) -> int:
     return emb.select(F.size("v").alias("d")).first()["d"]
 
 
+_ANN_LSH_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT t.t AS tbl, k.k AS k, i.i AS i,
+         CASE WHEN strpos('13579bdf',
+                          substr(md5(t.t || ':' || k.k || ':' || i.i), 32, 1)) > 0
+              THEN 1 ELSE -1 END AS s
+  FROM range(0, {N_TABLES}) t(t), range(0, {PLANES_PER_TABLE}) k(k), range(0, 64) i(i)
+),
+proj AS (
+  SELECT e.vec_id, p.tbl, p.k,
+         sum(cast(floor(e.v[p.i + 1] * 1e6) AS bigint) * p.s) AS pr
+  FROM emb e, planes p
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         cast(sum(CASE WHEN pr > 0 THEN cast(pow(2, k) AS bigint) ELSE 0 END) AS bigint) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
+  FROM buckets qb JOIN buckets cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < {N_QUERIES} AND qb.vec_id <> cb.vec_id
+),
+scored AS (
+  SELECT q_id, c_id,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+               6) AS cosine
+  FROM cand JOIN emb q ON q.vec_id = q_id JOIN emb c ON c.vec_id = c_id
+)
+SELECT q_id, c_id, cosine,
+       cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS int) AS rank
+FROM scored QUALIFY rank <= {TOP_K}
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane LSH → union of bucket candidates → exact cosine
-    top-k. Approximate (recall < 1) → rows-only check."""
+    rerank top-k. Approximate vs exact brute force (recall gated in tests),
+    but fully DETERMINISTIC (md5 planes + integer-quantized projections), so
+    the query itself is DuckDB-oracle-verified end to end. The oracle pins
+    dim=64 (the driver tables); the Spark side reads dim from the data."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -335,14 +392,22 @@ def build_ivf(emb: DataFrame) -> tuple[list[list[float]], DataFrame]:
     seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).orderBy("vec_id").collect()
     c0 = [list(r["v"]) for r in seeds]
     a0 = _assign(emb, c0)
-    # one Lloyd step: per-dim mean of each cluster — K×dim tiny partial aggs
+    # one Lloyd step: per-dim mean of each cluster — K×dim tiny partial aggs.
+    # Sums are over QUANTIZED floor(x·1e6) integers: order-free, so the
+    # centroids (and therefore the whole index) are bit-identical at any
+    # parallelism and across engines — IVF becomes oracle-checkable.
     sums = a0.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+        *[
+            F.sum(F.floor(F.element_at("v", i + 1) * 1e6).cast("long")).alias(
+                f"s{i}"
+            )
+            for i in range(dim)
+        ],
     )
     c1_rows = {r["cid"]: r for r in sums.collect()}
     c1 = [
-        [c1_rows[c][f"s{i}"] / c1_rows[c]["n"] for i in range(dim)]
+        [c1_rows[c][f"s{i}"] / 1e6 / c1_rows[c]["n"] for i in range(dim)]
         if c in c1_rows
         else c0[c]
         for c in range(N_CENTROIDS)
@@ -350,9 +415,80 @@ def build_ivf(emb: DataFrame) -> tuple[list[list[float]], DataFrame]:
     return c1, _assign(emb, c1)
 
 
+_IVF_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b})))"
+)
+_ANN_IVF_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS}),
+a0 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_COS.format(a="e.v", b="c.cv")} DESC, c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT cid, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM a0
+),
+sums AS (
+  SELECT cid, i, sum(cast(floor(x * 1e6) AS bigint)) AS s
+  FROM comp GROUP BY 1, 2
+),
+cnt AS (SELECT cid, count(*) AS n FROM a0 GROUP BY 1),
+c1 AS (
+  SELECT s.cid, list(s.s / 1e6 / c.n ORDER BY s.i) AS cv
+  FROM sums s JOIN cnt c USING (cid) GROUP BY s.cid, c.n
+),
+c1full AS (
+  SELECT cid, cv FROM c1
+  UNION ALL
+  SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cid FROM c1)
+),
+idx AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_COS.format(a="e.v", b="c.cv")} DESC, c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN c1full c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, cid FROM (
+    SELECT e.vec_id AS q_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_COS.format(a="e.v", b="c.cv")} DESC, c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN c1full c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.q_id, a.vec_id AS c_id,
+         round({_IVF_COS.format(a="q.v", b="a.v")}, 6) AS cosine
+  FROM probes p
+  JOIN idx a USING (cid)
+  JOIN emb q ON q.vec_id = p.q_id
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, c_id, cosine,
+       cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS int) AS rank
+FROM scored QUALIFY rank <= {TOP_K}
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: probe the N_PROBE nearest centroids per query, exact cosine
-    within those lists only. Approximate recall → rows-only check."""
+    within those lists only. Approximate vs brute force (recall gated in
+    tests) but fully DETERMINISTIC (seeded centroids, integer-quantized Lloyd
+    sums) — the query is DuckDB-oracle-verified end to end."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -410,7 +546,8 @@ QUERIES = {
 
 ORACLES = {
     "cosine_topk": _COSINE_SQL,
-    # ann_lsh / ann_ivf: approximate by design → rows-only
+    "ann_lsh": _ANN_LSH_SQL,
+    "ann_ivf": _ANN_IVF_SQL,
     "embedding_mean": _EMB_MEAN_SQL,
     "embedding_near_dup": _EMB_NEARDUP_SQL,
 }
