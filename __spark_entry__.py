@@ -4,9 +4,9 @@
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data ops: dedup, similarity, text analysis,
 multimodal); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one — 44 of 47; rows-only by design: hll_distinct (sketch
-internals engine-specific), mm_features (stubbed decoder), and
-template_induction (iterative fixpoint, golden-gated in tests).
+SQL-expressible one — 45 of 47; rows-only by design: hll_distinct (sketch
+internals engine-specific) and template_induction (iterative fixpoint,
+golden-gated in tests).
 """
 
 from __future__ import annotations

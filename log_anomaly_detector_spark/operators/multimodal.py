@@ -91,11 +91,29 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary columns via mapInPandas (rows-only
-    driver check: the decode stub has no SQL equivalent)."""
+    """Feature extraction over binary columns via mapInPandas. The decode is
+    a stub, but a DETERMINISTIC one — so the oracle below re-derives every
+    output from the payload in SQL, verifying the Arrow plumbing (batch
+    shape, schema, vectorized byte stats) end to end. A real codec would
+    return this query to a rows-only check."""
     return binary_payloads(spark, sf_dir).mapInPandas(
         extract_features, schema=FEATURE_SCHEMA
     )
+
+
+# payload = utf-8(text), ASCII by construction → byte mean == mean of char
+# code points; numpy's float64 mean of ≤255-valued ints is the exact integer
+# ratio, and np.round / DuckDB round are both half-even.
+_MMFEAT_SQL = """
+SELECT doc_id,
+       cast(octet_length(encode(text)) AS int) AS n_bytes,
+       round(list_sum(list_transform(string_split(text, ''), c -> ord(c)))
+             * 1.0 / octet_length(encode(text)), 6) AS mean_byte,
+       cast((octet_length(encode(text)) % 640) + 16 AS int) AS width,
+       cast((octet_length(encode(text)) % 480) + 16 AS int) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS codec
+FROM documents
+"""
 
 
 QUERIES = {
@@ -105,5 +123,5 @@ QUERIES = {
 
 ORACLES = {
     "binary_meta": _BINMETA_SQL,
-    # mm_features: stub decode → rows-only
+    "mm_features": _MMFEAT_SQL,
 }

@@ -45,7 +45,6 @@ def test_every_query_has_oracle_or_is_approximate():
     # only genuinely non-SQL-expressible ops may omit the oracle
     assert rows_only == {
         "hll_distinct",         # HLL++ sketch internals are engine-specific
-        "mm_features",          # stubbed decoder (no codecs in the sandbox)
         "template_induction",   # iterative fixpoint (golden-gated)
     }
 
