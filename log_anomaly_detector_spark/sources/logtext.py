@@ -47,18 +47,18 @@ def generate_logformat_regex(logformat: str) -> tuple[list[str], str]:
     return headers, f"^{regex}$"
 
 
-def read_structured_logs(
-    spark: SparkSession,
-    path: str,
-    logformat: str = "<Date> <Time> <Pid> <Level> <Component>: <Content>",
-    content_rexes: tuple[str, ...] = (r"(\d+\.){3}\d+(:\d+)?", r"\d+"),
+DEFAULT_LOGFORMAT = "<Date> <Time> <Pid> <Level> <Component>: <Content>"
+DEFAULT_CONTENT_REXES = (r"(\d+\.){3}\d+(:\d+)?", r"\d+")
+
+
+def structure_lines(
+    raw: DataFrame,
+    logformat: str = DEFAULT_LOGFORMAT,
+    content_rexes: tuple[str, ...] = DEFAULT_CONTENT_REXES,
 ) -> DataFrame:
-    """Structured-log DataFrame from raw text: one column per format header
-    + LineId, _parsed flag, EventTemplate, EventId (md5-8), BlockIds."""
+    """Structure a DataFrame of raw lines (columns: LineId, value) — the
+    shared core of the batch reader and the streaming foreachBatch path."""
     headers, pattern = generate_logformat_regex(logformat)
-    raw = spark.read.text(path).withColumn(
-        "LineId", F.monotonically_increasing_id()
-    )
     # non-ASCII scrub BEFORE header extraction — reference replaces runs of
     # non-ASCII bytes with the <NASCII> sentinel on the raw line
     # (logparser/Spell.py:297)
@@ -86,6 +86,20 @@ def read_structured_logs(
         )
         .drop("value")
     )
+
+
+def read_structured_logs(
+    spark: SparkSession,
+    path: str,
+    logformat: str = DEFAULT_LOGFORMAT,
+    content_rexes: tuple[str, ...] = DEFAULT_CONTENT_REXES,
+) -> DataFrame:
+    """Structured-log DataFrame from raw text: one column per format header
+    + LineId, _parsed flag, EventTemplate, EventId (md5-8), BlockIds."""
+    raw = spark.read.text(path).withColumn(
+        "LineId", F.monotonically_increasing_id()
+    )
+    return structure_lines(raw, logformat, content_rexes)
 
 
 def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:

@@ -158,3 +158,27 @@ def test_non_ascii_scrub(spark, tmp_path):
     row = df.first()
     assert row["Content"] == "Received block caf<NASCII>"
     assert row["_parsed"]
+
+
+def test_all_null_n_tok_partition_end_to_end(spark, world, tmp_path):
+    """A partition whose n_tok is entirely NULL must fail n_tok_stats (and
+    null_rate) and label Anomaly — never crash the run (NULL aggregates)."""
+    seqs, snap, allowed, baseline, _ = world
+    nulled = seqs.withColumn(
+        "n_tok",
+        F.when(F.col("part_id") == 0, F.lit(None).cast("int")).otherwise(
+            F.col("n_tok")
+        ),
+    )
+    out = str(tmp_path / "nulled")
+    res = run_validation(
+        spark, nulled, snap, allowed, baseline, out, CFG, input_digest="z"
+    )
+    v0 = next(v for v in res.verdicts if v["part_id"] == 0)
+    assert v0["label"] == "Anomaly"
+    failed0 = {
+        r["rule_id"]
+        for r in res.rule_verdicts
+        if r["part_id"] == 0 and not r["passed"]
+    }
+    assert {"n_tok_stats", "null_rate"} <= failed0

@@ -73,3 +73,31 @@ def test_no_unpartitioned_window(spark, name):
     explicit constant key, unbounded rankings are two-phase."""
     n = unpartitioned_windows(QUERIES[name](spark, SF_DIR))
     assert n == 0, f"{name} plans {n} unpartitioned Window node(s)"
+
+
+def test_pagination_is_top_k_not_global_window(spark):
+    """W4 fix: page N plans as TakeOrderedAndProject (parallel partial top-k)
+    — never a full-table single-partition row_number."""
+    from log_anomaly_detector_spark.operators.relational import q_pagination
+    from log_anomaly_detector_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_pagination(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_pair_queries_never_theta_join(spark):
+    """Near-dup and ANN candidates come from keyed bucket joins — the plan
+    must contain no cartesian/nested-loop join of two unbounded sides.
+    (cosine_topk is the deliberate brute-force oracle baseline and is
+    exempt — its query side is bounded by N_QUERIES.)"""
+    from log_anomaly_detector_spark.operators.similarity import (
+        q_ann_ivf,
+        q_ann_lsh,
+        q_embedding_near_dup,
+    )
+    from log_anomaly_detector_spark.plans import formatted_plan
+
+    for q in (q_embedding_near_dup, q_ann_lsh, q_ann_ivf):
+        plan = formatted_plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__

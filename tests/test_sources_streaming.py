@@ -178,3 +178,35 @@ def test_streaming_validation(spark, tmp_path):
         .count()
     )
     assert viol.count() == batch
+
+
+def test_template_match_stream(spark, tmp_path):
+    """Online v2 loop: stream of raw lines vs a warm dim — known-shape lines
+    match, novel lines flag anomalous; a restart consumes only new files."""
+    from log_anomaly_detector_spark.streaming.template_stream import (
+        match_log_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    (in_dir / "a.log").write_text(
+        "081109 203615 143 INFO dfs.DataNode: Receiving block blk_1 src 10.0.0.1\n"
+        "081109 203616 143 WARN dfs.Weird: Completely novel shape here now ok\n"
+    )
+    warm = spark.createDataFrame(
+        [("Receiving block blk_<*> src <*>",)], "template string"
+    )
+    match_log_stream(spark, str(in_dir), warm, out, st=0.5)
+    rows = {r["Content"]: r for r in spark.read.parquet(f"{out}/matched").collect()}
+    assert rows["Receiving block blk_1 src 10.0.0.1"]["is_anomaly"] is False
+    assert rows["Completely novel shape here now ok"]["is_anomaly"] is True
+
+    # restart with one NEW file → only its lines are appended
+    (in_dir / "b.log").write_text(
+        "081109 203617 143 INFO dfs.DataNode: Receiving block blk_2 src 10.0.0.2\n"
+    )
+    match_log_stream(spark, str(in_dir), warm, out, st=0.5)
+    df = spark.read.parquet(f"{out}/matched")
+    assert df.count() == 3
+    assert df.filter("is_anomaly").count() == 1
