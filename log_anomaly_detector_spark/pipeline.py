@@ -66,8 +66,15 @@ def run_detection_pipeline(
             .agg(F.sum("Occurrences").alias("Occurrences"))
         )
 
-    # [2] occurrence-ranked mapping; ties pinned by EventId (FIXTURES.md)
-    w = Window.orderBy(F.desc("Occurrences"), F.asc("EventId"))
+    # [2] occurrence-ranked mapping; ties pinned by EventId (FIXTURES.md).
+    # Input is the post-aggregation template dim (dim-sized) — the constant
+    # non-foldable key keeps the bounded window off the warn-worthy
+    # unpartitioned path (see operators.relational.one_part)
+    from log_anomaly_detector_spark.operators.relational import one_part
+
+    w = Window.partitionBy(one_part(F.col("Occurrences"))).orderBy(
+        F.desc("Occurrences"), F.asc("EventId")
+    )
     mapping = templates.withColumn("event_int", F.row_number().over(w))
 
     # [3] block sequences: one row per (line, block) then ordered collect.
