@@ -204,6 +204,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # ONE shared bucket projection for both sides: the bucket expression is
+    # a large codegen unit (L×P×dim literal); sharing it compiles it once —
+    # measured 2x faster than a filtered-first duplicate at bench scale
     buckets = _lsh_buckets(emb, _emb_dim(emb))
     q = buckets.join(
         emb.filter(F.col("vec_id") < N_QUERIES), "vec_id"
