@@ -101,3 +101,26 @@ def test_embedding_pair_queries_never_theta_join(spark):
         plan = formatted_plan(q(spark, SF_DIR))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_two_phase_rank_matches_local_sort(spark):
+    """_two_phase_rank (vocab's scalable global enumeration) must equal a
+    driver-side sort at ANY partitioning — including heavy-tie inputs."""
+    from log_anomaly_detector_spark.operators.relational import _two_phase_rank
+    from pyspark.sql import functions as F
+
+    rows = [(f"w{i:05d}", (i * 7919) % 97) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "word string, freq long").repartition(13)
+    ranked = {
+        r["word"]: r["rank"]
+        for r in _two_phase_rank(
+            df, [F.desc("freq"), F.asc("word")], "rank", n_parts=8
+        ).collect()
+    }
+    want = {
+        w: i + 1
+        for i, (w, f) in enumerate(
+            sorted(rows, key=lambda x: (-x[1], x[0]))
+        )
+    }
+    assert ranked == want
