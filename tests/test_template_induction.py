@@ -173,3 +173,33 @@ def test_hdfs_dim_reproduced(spark):
     assert all(v == 5 for v in occ.values())
     # sequential golden agrees on the same fixture
     assert set(got) == golden_drain(lines_py, st=0.5, depth=5)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_TEMPLATES), reason="reference tree not present"
+)
+def test_hdfs_warm_start_half_dim(spark):
+    """v2 warm start at dim scale: seed with HALF the reference dim — known
+    shapes absorb their lines (is_new=False), the other half is founded this
+    run and flagged is_new (the v2 anomaly/persistence slice)."""
+    import pandas as pd
+
+    ref = sorted(str(t) for t in pd.read_csv(REF_TEMPLATES)["EventTemplate"])
+    warm_set, cold_set = ref[::2], ref[1::2]
+    rows, lid = [], 0
+    for ti, tmpl in enumerate(ref):
+        for j in range(3):
+            toks = [
+                str(10_000 + 97 * ti + j) if tok == "<*>" else tok
+                for tok in tmpl.split()
+            ]
+            lid += 1
+            rows.append((lid, toks))
+    warm = spark.createDataFrame([(t,) for t in warm_set], "template string")
+    res = induce_templates(
+        _lines_df(spark, rows), st=0.5, depth=5, warm_templates=warm
+    )
+    got = {r["template"]: r["is_new"] for r in res.templates.collect()}
+    assert sorted(got) == ref
+    assert {t for t, new in got.items() if not new} == set(warm_set)
+    assert {t for t, new in got.items() if new} == set(cold_set)
