@@ -4,9 +4,10 @@
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data ops: dedup, similarity, text analysis,
 multimodal); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one — 45 of 47; rows-only by design: hll_distinct (sketch
-internals engine-specific) and template_induction (iterative fixpoint,
-golden-gated in tests).
+SQL-expressible one — 46 of 48; rows-only by design: hll_distinct (sketch
+internals engine-specific; the portable KMV sketch variant IS
+oracle-verified) and template_induction (iterative fixpoint, golden-gated
+in tests).
 """
 
 from __future__ import annotations

@@ -200,12 +200,66 @@ _A11_SQL = (
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++, rsd=1%) — the scale path for R3."""
+    """approx_count_distinct (HLL++, rsd=1%) — the scale path for R3.
+    Rows-only: the sketch internals are engine-specific by nature; the
+    PORTABLE sketch variant with a hard oracle is q_kmv_distinct."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
     )
+
+
+# --- A11 portable sketch: K-minimum-values distinct estimator. Same
+# approximate-distinct job as HLL++, but built from engine-portable pieces
+# (md5-derived 60-bit hashes + per-group k-th minimum), so the ESTIMATES
+# themselves are bit-identical across engines → hard DuckDB oracle. Scale
+# shape: dedup + per-group keyed window (never a global one); the classic
+# KMV estimate (k-1)·M/h_(k), exact count when a group has < k values. ------
+KMV_K = 32
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashes = ev.select("event_type", h.alias("h")).dropDuplicates(
+        ["event_type", "h"]
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    per_group = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.floor((KMV_K - 1) * F.pow(F.lit(2.0), 60) / F.col("hk")).cast("double")
+    )
+    return per_group.select("event_type", est.alias("kmv_distinct"))
+
+
+_KMV_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(cast(user_id AS varchar)), 1, 15))::bigint AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashes
+), per_group AS (
+  SELECT event_type, count(*) AS n_hashes,
+         max(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN n_hashes < {KMV_K} THEN cast(n_hashes AS double)
+            ELSE floor(({KMV_K} - 1) * pow(2, 60) / hk) END AS kmv_distinct
+FROM per_group
+"""
 
 
 # --- J1: broadcast hash join to a small dimension (HDFS/data_process.py:99-106
@@ -878,6 +932,7 @@ QUERIES = {
     "quantile_median": q_quantile_median,
     "distinct_exact": q_distinct_exact,
     "hll_distinct": q_hll_distinct,
+    "kmv_distinct": q_kmv_distinct,
     "broadcast_join_revenue": q_broadcast_join_revenue,
     "left_join_default": q_left_join_default,
     "anti_join": q_anti_join,
@@ -909,6 +964,7 @@ ORACLES = {
     "threshold_verdict": _A456_SQL,
     "quantile_median": _A10_SQL,
     "distinct_exact": _A11_SQL,
+    "kmv_distinct": _KMV_SQL,
     # hll_distinct: approximate by design → rows-only check
     "broadcast_join_revenue": _J1_SQL,
     "left_join_default": _J2_SQL,
