@@ -227,12 +227,19 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = ev.select("event_type", h.alias("h")).dropDuplicates(
         ["event_type", "h"]
     )
+    counts = hashes.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_hashes"))
+    # rank-filter ADJACENT to the window so Catalyst's InferWindowGroupLimit
+    # plans a PARTIAL WindowGroupLimit: every task keeps only its local k
+    # smallest per group before the shuffle — the window never materializes a
+    # whole group (plan-asserted in tests)
     w = Window.partitionBy("event_type").orderBy("h")
-    ranked = hashes.withColumn("rn", F.row_number().over(w))
-    per_group = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_hashes"),
-        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk"),
+    topk = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
     )
+    hk = topk.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk")
+    )
+    per_group = counts.join(hk, "event_type")
     est = F.when(
         F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
     ).otherwise(

@@ -124,3 +124,15 @@ def test_two_phase_rank_matches_local_sort(spark):
         )
     }
     assert ranked == want
+
+
+def test_kmv_topk_is_partial_window_group_limit(spark):
+    """KMV's per-group k-th minimum must plan a PARTIAL WindowGroupLimit —
+    tasks keep only their local k smallest per group before the shuffle, so
+    the window never materializes a whole group."""
+    from log_anomaly_detector_spark.operators.relational import q_kmv_distinct
+    from log_anomaly_detector_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_kmv_distinct(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
