@@ -661,12 +661,13 @@ def _two_phase_rank(
 ) -> DataFrame:
     """Exact global row_number() over ``order`` without a single-partition
     window: repartitionByRange + local rank + per-range offsets."""
-    from pyspark.storagelevel import StorageLevel
+    from log_anomaly_detector_spark.operators.caching import tracked_persist
 
-    ranged = (
-        df.repartitionByRange(n_parts, *order)
-        .withColumn("_rpid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ranged = tracked_persist(
+        f"two_phase_rank:{rank_alias}",
+        df.repartitionByRange(n_parts, *order).withColumn(
+            "_rpid", F.spark_partition_id()
+        ),
     )
     sizes = {
         r["_rpid"]: r["n"]

@@ -204,6 +204,7 @@ def induce_templates(
     warm_templates: DataFrame | None = None,
     max_founding_rounds: int = 8,
     max_refine_passes: int = 8,
+    max_dim_rows: int = 50_000,
 ) -> InductionResult:
     """Learn the template dim from ``lines`` (line_id long, tokens
     array<string>), optionally warm-started from a known dim
@@ -213,9 +214,31 @@ def induce_templates(
     ``_templates.csv`` (outputResult, Drain.py:201-239); ``is_new`` marks
     templates not reachable from the warm dim (the v2 anomaly flag for
     never-seen-before lines, Drain.py:367-377).
+
+    Driver-state bound: the template dim lives driver-side between rounds
+    (dim-sized by construction — the reference holds the whole cluster list in
+    memory, Drain.py:286). On template-POOR input (natural text, high-entropy
+    ids) bulk founding could make the dim row-count-sized; every collect that
+    grows the dim is therefore capped at ``max_dim_rows`` and overflow raises
+    a clear ``ValueError`` instead of silently OOMing the driver. Raise the
+    cap only if your template dim is genuinely that large.
     """
     spark = lines.sparkSession
     lines = lines.filter(F.size("tokens") > 0)
+
+    def _collect_capped(df: DataFrame, have: int, what: str) -> list:
+        budget = max_dim_rows - have
+        rows = df.limit(budget + 1).collect() if budget >= 0 else []
+        if budget < 0 or len(rows) > budget:
+            raise ValueError(
+                f"template dim would exceed max_dim_rows={max_dim_rows} while "
+                f"collecting {what} (current dim: {have} templates). The input "
+                "looks template-poor (near-distinct token sequences) — Drain "
+                "induction is for templated log data; raise max_dim_rows only "
+                "if the dim is genuinely this large, or pre-mask high-entropy "
+                "tokens before induction."
+            )
+        return rows
 
     DIM_SCHEMA = "template_id long, tokens array<string>"
 
@@ -231,8 +254,16 @@ def induce_templates(
     # pinned tie-break (asc id) like the reference's insertion-order scan,
     # and survive as "not new" in the output
     if warm_templates is not None:
+        # normalize whitespace runs NOW (' '.join(split)): the dim tokenizes
+        # with split() but the final is_new join matches the re-joined
+        # single-space template string — un-normalized warm strings with
+        # consecutive internal spaces would never re-match and be wrongly
+        # flagged is_new
         warm_strs = sorted(
-            str(r["template"]).strip() for r in warm_templates.collect()
+            {
+                " ".join(str(r["template"]).split())
+                for r in _collect_capped(warm_templates, 0, "warm templates")
+            }
         )
         dim = [(-(i + 1), s.split()) for i, s in enumerate(warm_strs)]
     else:
@@ -255,11 +286,15 @@ def induce_templates(
             unmatched.unpersist()
             break
         if rounds >= max_founding_rounds:
-            bulk = _bulk_founders(unmatched).collect()  # dim-sized by defn
+            bulk = _collect_capped(
+                _bulk_founders(unmatched), len(dim), "bulk founders"
+            )
             dim = dim + [(r["template_id"], list(r["tokens"])) for r in bulk]
             unmatched.unpersist()
             break
-        founders = _elect_founders(unmatched, depth).collect()  # ≤ leaves rows
+        founders = _collect_capped(  # ≤ leaves rows
+            _elect_founders(unmatched, depth), len(dim), "leaf founders"
+        )
         dim = dim + [(r["template_id"], list(r["tokens"])) for r in founders]
         remaining = unmatched
         rounds += 1
@@ -284,9 +319,9 @@ def induce_templates(
         orphans = assign.filter(F.col("template_id").isNull()).select(
             "line_id", "tokens"
         )
-        refined_rows = refined.collect()  # dim-sized
+        refined_rows = refined.collect()  # dim-sized (≤ current dim)
         orphan_rows = sorted(
-            _bulk_founders(orphans).collect(),
+            _collect_capped(_bulk_founders(orphans), len(refined_rows), "orphans"),
             key=lambda r: r["template_id"],
         )
         assign.unpersist()

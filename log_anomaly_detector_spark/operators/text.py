@@ -10,7 +10,7 @@ candidate-verify pattern keeps the quadratic step bounded to LSH buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log_anomaly_detector_spark.functions.text_funcs import (
@@ -157,18 +157,24 @@ GROUP BY prefix_fp HAVING count(*) > 1
 
 # --- n-gram (3-word shingle) Jaccard near-dup: PREFIX-FILTERED set-
 # similarity join (the PPJoin family's prefix principle): order every doc's
-# shingle set by one global canonical order (xxhash64), index only the first
+# shingle set by ONE global canonical order, index only the first
 # ⌊(1−J)·|set|⌋+1 shingles — any pair with Jaccard ≥ J MUST collide inside
 # those prefixes, for ANY fixed total order — then verify candidates exactly
 # on their full shingle sets (array_intersect, a per-row expression). This
-# prunes the candidate join quadratically vs joining on every shingle. A
-# document-frequency cap on the prefix join is the hot-shingle skew defusal:
-# a boilerplate 3-gram shared by millions of docs would make one join group
-# quadratic. Documented compromise: a pair whose shared PREFIX shingles are
-# all hotter than the cap is not reported (standard df-cap semantics). On the
-# driver's testdata no shingle exceeds the cap, so the UNCAPPED brute-force
-# DuckDB oracle must match exactly. -------------------------------------------
-SHINGLE_DF_CAP = 1000
+# prunes the candidate join quadratically vs joining on every shingle.
+#
+# The canonical order is ASCENDING CORPUS DOCUMENT FREQUENCY (ties by
+# shingle text) — the textbook PPJoin choice, and it is what defuses
+# hot-shingle skew EXACTLY: a boilerplate 3-gram shared by millions of docs
+# sorts to the BACK of every set, so it enters a prefix only for documents
+# with nothing rarer to offer, and the candidate join groups stay rare-keyed.
+# Round 2 used a random (hash) order plus a df>cap drop, which silently lost
+# any true pair whose shared prefix shingles were all hot; the frequency
+# order removes the cap and the recall hole together (planted regression:
+# tests/test_operators.py::test_jaccard_hot_shingle_pair_found). Computing
+# df costs one extra shuffle (shingle-keyed count + join) — the price of
+# exactness, and at 100 TB the df table is vocabulary-sized while the join
+# it feeds shrinks quadratically. ---------------------------------------------
 JACCARD_THRESHOLD = 0.7
 
 
@@ -183,44 +189,38 @@ def shingles(text_col) -> "F.Column":
     )
 
 
-def _hash_ordered_shingles(text_col) -> "F.Column":
-    """Shingle set sorted by the global canonical order (xxhash64) — the
-    prefix of this array is the PPJoin index prefix."""
-    return F.transform(
-        F.array_sort(
-            F.transform(
-                shingles(text_col),
-                lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")),
-            )
-        ),
-        lambda st: st["s"],
-    )
-
-
 def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
+    from log_anomaly_detector_spark.operators.caching import tracked_persist
 
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    # ^ testdata parquet arrives as ONE split; the cheap doc_id repartition
-    # parallelizes the shingle explosion (raw text rows are small). Persist:
-    # the set table is read by both the candidate and the verify side.
-    sets_ = docs.select(
-        "doc_id", _hash_ordered_shingles(F.col("text")).alias("shs")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    pfx_len = (
-        F.floor(F.size("shs") * (1 - JACCARD_THRESHOLD)) + 1
-    ).cast("int")
-    pfx = sets_.select("doc_id", F.explode(F.slice("shs", 1, pfx_len)).alias("sh"))
-    # skew defusal: drop prefix shingles with df > cap from candidate
-    # generation (no broadcast hint — AQE broadcasts the normally-tiny set)
-    hot = (
-        pfx.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > SHINGLE_DF_CAP)
-        .select("sh")
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
-    rare_pfx = pfx.join(hot, "sh", "left_anti")
-    a, b = rare_pfx.alias("a"), rare_pfx.alias("b")
+    # ^ testdata parquet arrives as ONE split; the cheap doc_id repartition
+    # parallelizes the shingle explosion (raw text rows are small) — width
+    # follows the session's parallelism, never a hardcoded constant. Persist
+    # (tracked — one live handle per session): the set table is read by the
+    # prefix side and by the verify side.
+    sets_ = tracked_persist(
+        "jaccard_sets",
+        docs.select("doc_id", shingles(F.col("text")).alias("shs")),
+    )
+    toks = sets_.select(
+        "doc_id", F.size("shs").alias("sz"), F.explode("shs").alias("sh")
+    )
+    # corpus document frequency per shingle — one grouped count; the join
+    # back is shingle-keyed (AQE broadcasts it while it is small)
+    df_tbl = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    pfx = (
+        toks.join(df_tbl, "sh")
+        .withColumn("_rn", F.row_number().over(wdoc))
+        .filter(
+            F.col("_rn")
+            <= (F.floor(F.col("sz") * (1 - JACCARD_THRESHOLD)) + 1).cast("int")
+        )
+        .select("doc_id", "sh")
+    )
+    a, b = pfx.alias("a"), pfx.alias("b")
     cand = (
         a.join(
             b,
@@ -291,7 +291,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ENTIRE sketch (signatures, band buckets, estimate) has a bit-exact
     DuckDB oracle. Scale shape: band-hash shuffle + per-bucket pairing only,
     never all-pairs."""
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     # ^ single-split testdata: parallelize the shingle explosion
     sig = minhash_signatures(docs)
     rows_per_band = N_HASHES // N_BANDS

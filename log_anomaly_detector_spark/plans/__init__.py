@@ -3,6 +3,7 @@
 codegen spans)."""
 
 from log_anomaly_detector_spark.plans.inspect import (  # noqa: F401
+    forced_raw_broadcasts,
     formatted_plan,
     plan_facts,
     unpartitioned_windows,

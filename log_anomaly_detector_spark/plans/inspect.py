@@ -57,6 +57,50 @@ def _top_level_groups(s: str) -> int:
     return groups
 
 
+def forced_raw_broadcasts(df: DataFrame, relation_col: str) -> int:
+    """Number of EXPLICIT broadcast hints whose subtree is the raw (unfiltered,
+    unaggregated, unjoined) scan of the relation owning a column named
+    ``relation_col`` — the 100×-scale killer shape: ``F.broadcast(corpus)``
+    ships the whole table to every executor no matter how big it grows.
+
+    The relation is identified by a column name unique to it (the analyzed
+    plan prints ``Relation [vec_id#0L,embedding#1,...] parquet`` without the
+    file path). Hints are audited in the ANALYZED logical plan
+    (``ResolvedHint`` nodes exist only for explicit hints), so a runtime
+    AQE/stats broadcast — which adapts away when the table outgrows the
+    threshold — never counts. A hint is FINE when its subtree filters, joins,
+    or aggregates before the relation (the broadcast side is then bounded by
+    construction, e.g. a candidate-id set or a query slice)."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    lines = analyzed.splitlines()
+
+    def _depth(ln: str) -> int:
+        i = 0
+        while i < len(ln) and ln[i] in "+-: ":
+            i += 1
+        return i
+
+    n = 0
+    for idx, ln in enumerate(lines):
+        if "ResolvedHint" not in ln:
+            continue
+        d = _depth(ln)
+        sub: list[str] = []
+        for nxt in lines[idx + 1 :]:
+            if _depth(nxt) <= d and nxt.strip():
+                break
+            sub.append(nxt)
+        touches = any(
+            f"{relation_col}#" in s and "Relation" in s for s in sub
+        )
+        bounded = any(
+            k in s for s in sub for k in ("Filter", "Join", "Aggregate", "Limit")
+        )
+        if touches and not bounded:
+            n += 1
+    return n
+
+
 def unpartitioned_windows(df: DataFrame) -> int:
     """Number of Window nodes with an EMPTY partition spec — the plan shape
     Spark itself warns about ("No Partition Defined ... moving all data to a

@@ -103,6 +103,70 @@ def test_embedding_pair_queries_never_theta_join(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
 
 
+def test_no_forced_full_corpus_broadcast(spark):
+    """Round-2 verdict #1: the ANN verify stages must never FORCE a broadcast
+    of the unfiltered embeddings table (`F.broadcast(corpus)` is an OOM at
+    10^12 vectors by definition). Explicit hints are allowed only on bounded
+    sides — query slices, candidate-id sets. Runtime AQE broadcasts (which
+    adapt away as the table grows) are exempt by construction: the audit sees
+    only ResolvedHint nodes."""
+    from log_anomaly_detector_spark.operators.similarity import (
+        q_ann_lsh,
+        q_cosine_topk,
+        q_embedding_near_dup,
+    )
+    from log_anomaly_detector_spark.plans import forced_raw_broadcasts
+
+    for q in (q_embedding_near_dup, q_ann_lsh, q_cosine_topk):
+        n = forced_raw_broadcasts(q(spark, SF_DIR), "embedding")
+        assert n == 0, f"{q.__name__} forces {n} raw-corpus broadcast(s)"
+
+
+def test_forced_raw_broadcast_detector_catches_bad_plan(spark):
+    """The audit itself must fire on the known-bad shape (a hinted broadcast
+    of the raw corpus) and stay quiet on a hinted bounded side."""
+    from pyspark.sql import functions as F
+    from log_anomaly_detector_spark.plans import forced_raw_broadcasts
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = emb.select(F.col("vec_id").alias("id_a"))
+    bad = pairs.join(
+        F.broadcast(emb.select(F.col("vec_id").alias("id_a"), "label")), "id_a"
+    )
+    assert forced_raw_broadcasts(bad, "embedding") == 1
+    good = pairs.join(
+        F.broadcast(
+            emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("id_a"), "label"
+            )
+        ),
+        "id_a",
+    )
+    assert forced_raw_broadcasts(good, "embedding") == 0
+
+
+def test_jaccard_hot_shingle_pair_found(spark, tmp_path):
+    """Planted regression for the round-2 recall hole: a TRUE near-dup pair
+    whose ONLY shared shingle is the hottest in the corpus (df > 1000 — above
+    the old SHINGLE_DF_CAP) must still be reported. With the frequency-
+    ascending PPJoin order the hot shingle sorts to the back of every filler
+    doc's set (their prefixes hold their rare unique shingles instead), so
+    the candidate group for the hot shingle contains exactly the planted
+    pair — recall AND skew defusal, no cap."""
+    from log_anomaly_detector_spark.operators.text import q_jaccard_near_dup
+
+    rows = [(i, f"hot shingle base u{i} v{i} w{i}") for i in range(1100)]
+    rows += [(1100, "hot shingle base"), (1101, "hot shingle base")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q_jaccard_near_dup(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1100, 1101): 1.0}
+
+
 def test_two_phase_rank_matches_local_sort(spark):
     """_two_phase_rank (vocab's scalable global enumeration) must equal a
     driver-side sort at ANY partitioning — including heavy-tie inputs."""

@@ -82,13 +82,11 @@ def test_positional_matches_intended_regex(spark):
     ).collect()
     for r in got:
         want = _intended_regex(r["template"], r["content"])
-        assert r["params"].split("|") if r["params"] else [] == want, (
-            r["template"],
-            r["params"],
-            want,
-        )
-        if want:
-            assert r["params"] == "|".join(want)
+        # parenthesized: the conditional expression must bind BEFORE the ==
+        # (an unparenthesized form parses as `split if params else ([]==want)`
+        # and is vacuously truthy whenever params is non-empty)
+        params = r["params"].split("|") if r["params"] else []
+        assert params == want, (r["template"], r["params"], want)
 
 
 @pytest.mark.skipif(
