@@ -3,11 +3,13 @@
 ``entry(spark)`` runs the flagship pricing-summary aggregate at sf0.001.
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data ops: dedup, similarity, text analysis,
-multimodal); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one — 46 of 48; rows-only by design: hll_distinct (sketch
-internals engine-specific; the portable KMV sketch variant IS
-oracle-verified) and template_induction (iterative fixpoint, golden-gated
-in tests).
+multimodal); ``oracle_sql()`` carries a hard check for ALL 49 — 47 as
+DuckDB-equivalent ANSI SQL (including a recursive-CTE LCS for spell_match),
+hll_distinct as a tolerance-band contract (exact distinct hash-compared +
+within-3·rsd boolean the oracle pins TRUE), and template_induction as a
+checked-in deterministic golden VALUES literal (the fixpoint is not
+SQL-expressible but its converged dim on the sf0.01 fixture is — verified —
+deterministic; semantics additionally golden-gated in tests).
 """
 
 from __future__ import annotations

@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "ann_lsh",
     "seeded_sample",
+    # round 3 additions
+    "spell_match",
+    "hll_distinct",
 ]
 
 ENGINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))

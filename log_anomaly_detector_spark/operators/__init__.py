@@ -9,21 +9,20 @@ from log_anomaly_detector_spark.operators import (
     multimodal,
     relational,
     similarity,
+    spell_match,
     text,
 )
 from log_anomaly_detector_spark.operators.template_induction import (
     q_template_induction,
 )
 
-_MODULES = (relational, text, similarity, multimodal)
+_MODULES = (relational, text, similarity, spell_match, multimodal)
 
 
 def all_queries():
     q = {}
     for m in _MODULES:
         q.update(m.QUERIES)
-    # Drain induction: iterative fixpoint → rows-only check (golden-gated in
-    # tests/test_template_induction.py against a sequential implementation)
     q["template_induction"] = q_template_induction
     return q
 
@@ -32,4 +31,15 @@ def all_oracles():
     o = {}
     for m in _MODULES:
         o.update(m.ORACLES)
+    # Drain induction: the iterative fixpoint is not SQL-expressible, but its
+    # converged dim on the driver's sf0.01 fixture is DETERMINISTIC (verified
+    # across runs and sessions), so it gets a HARD check against a checked-in
+    # golden VALUES literal (tools/gen_induction_golden.py) — the same
+    # pattern as KMV/mm_features; semantics are additionally golden-gated
+    # against a sequential reference in tests/test_template_induction.py.
+    from log_anomaly_detector_spark.operators._induction_golden import (
+        INDUCTION_GOLDEN_SQL,
+    )
+
+    o["template_induction"] = INDUCTION_GOLDEN_SQL
     return o

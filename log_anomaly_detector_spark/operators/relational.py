@@ -185,7 +185,7 @@ FROM events GROUP BY event_type
 
 
 # --- A11: exact distinct (Drain.py:235 unique()); HLL++ variant is
-# q_hll_distinct (rows-only — approximate by design) -------------------------
+# q_hll_distinct (tolerance-band verified) ------------------------------------
 def q_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "events")
@@ -198,16 +198,40 @@ _A11_SQL = (
     "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
 )
 
+HLL_RSD = 0.01
+
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++, rsd=1%) — the scale path for R3.
-    Rows-only: the sketch internals are engine-specific by nature; the
-    PORTABLE sketch variant with a hard oracle is q_kmv_distinct."""
-    return (
+
+    The sketch internals are engine-specific, so the raw estimate can never
+    hash-match another engine; the contract output is therefore the BOUNDED
+    CHECK itself: per group, the exact distinct (hard-compared against
+    DuckDB's) plus ``hll_within_3rsd`` = |HLL−exact|/exact ≤ 3·rsd, which the
+    oracle pins to TRUE — an out-of-band sketch flips the boolean and fails
+    the value hash. The PORTABLE sketch with a bit-exact oracle is
+    q_kmv_distinct."""
+    agg = (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", HLL_RSD).alias("_approx"),
+            F.countDistinct("user_id").alias("n_users_exact"),
+        )
     )
+    ok = (
+        F.abs(F.col("_approx") - F.col("n_users_exact"))
+        / F.col("n_users_exact")
+        <= 3 * HLL_RSD
+    )
+    return agg.select("event_type", "n_users_exact", ok.alias("hll_within_3rsd"))
+
+
+_HLL_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+       TRUE AS hll_within_3rsd
+FROM events GROUP BY event_type
+"""
 
 
 # --- A11 portable sketch: K-minimum-values distinct estimator. Same
@@ -973,7 +997,10 @@ ORACLES = {
     "quantile_median": _A10_SQL,
     "distinct_exact": _A11_SQL,
     "kmv_distinct": _KMV_SQL,
-    # hll_distinct: approximate by design → rows-only check
+    # hll_distinct: sketch internals are engine-specific, so the contract
+    # output is the bounded check itself (exact distinct hash-compared +
+    # within-3·rsd boolean the oracle pins TRUE)
+    "hll_distinct": _HLL_SQL,
     "broadcast_join_revenue": _J1_SQL,
     "left_join_default": _J2_SQL,
     "anti_join": _J3_SQL,

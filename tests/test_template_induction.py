@@ -203,3 +203,33 @@ def test_hdfs_warm_start_half_dim(spark):
     assert sorted(got) == ref
     assert {t for t, new in got.items() if not new} == set(warm_set)
     assert {t for t, new in got.items() if new} == set(cold_set)
+
+
+def test_template_poor_input_caps_driver_state(spark):
+    """Adversarial high-cardinality input (every line a distinct sequence —
+    natural text, high-entropy ids): the driver-side dim would become
+    row-count-sized, so the capped collects must fail with a CLEAR error,
+    never an opaque driver OOM."""
+    lines = spark.createDataFrame(
+        [(i, [f"u{i}a", f"u{i}b", f"u{i}c"]) for i in range(200)],
+        "line_id long, tokens array<string>",
+    )
+    with pytest.raises(ValueError, match="max_dim_rows"):
+        induce_templates(lines, max_founding_rounds=0, max_dim_rows=50)
+
+
+def test_warm_template_internal_whitespace_not_flagged_new(spark):
+    """A warm template containing a run of internal spaces must re-match its
+    normalized form and stay is_new=False (round-2 advisory: the dim
+    tokenized with split() but the is_new join compared the RAW warm string,
+    so such templates were spuriously flagged new)."""
+    warm = spark.createDataFrame(
+        [("recv  block   <*>",)], "template string"
+    )
+    lines = spark.createDataFrame(
+        [(1, ["recv", "block", "b77"]), (2, ["recv", "block", "b78"])],
+        "line_id long, tokens array<string>",
+    )
+    res = induce_templates(lines, warm_templates=warm, st=0.5)
+    out = {r["template"]: r["is_new"] for r in res.templates.collect()}
+    assert out == {"recv block <*>": False}
