@@ -132,6 +132,7 @@ def bench_engine(spark) -> dict:
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from log_anomaly_detector_spark.operators import all_queries
+    from log_anomaly_detector_spark.operators.caching import release_all
 
     qs = all_queries()
     times: dict[str, float] = {}
@@ -141,6 +142,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+    release_all()  # drop tracked intra-query caches before the engine part
     return times
 
 

@@ -361,29 +361,45 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelizes the signature kernel and the norm computation
     emb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     udf = _bucket_udf(dim, ND_TABLES, ND_PLANES)
-    # SKINNY candidate stream: only (id, full signature) rides the bucket
-    # self-join — vector payloads stay out of the wide ops entirely
+    # SKINNY candidate stream: only (id, PACKED signature) rides the bucket
+    # self-join — vector payloads stay out of the wide ops entirely, and the
+    # whole 24-table signature is ONE long (ND_PLANES=2 bits per bucket ×
+    # ND_TABLES=24 = 48 bits), so the per-pair dedup check below is a couple
+    # of integer ops instead of a 24-element array walk.
+    assert ND_PLANES == 2 and ND_TABLES * ND_PLANES <= 62, "packing assumes 2-bit buckets"
+    group_pows = [4**i for i in range(ND_TABLES)]  # bucket_t << 2t
+    packed = F.aggregate(
+        F.zip_with(F.col("sig"), F.lit(group_pows), lambda bkt, p: bkt * p),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     sigs = emb.select("vec_id", udf(F.col("v")).alias("sig"))
-    skinny = sigs.select("vec_id", "sig", F.posexplode("sig").alias("tbl", "bucket"))
+    skinny = sigs.select(
+        "vec_id", packed.alias("psig"), F.posexplode("sig").alias("tbl", "bucket")
+    )
     a = skinny.select(
-        F.col("vec_id").alias("id_a"), F.col("sig").alias("sig_a"), "tbl", "bucket"
+        F.col("vec_id").alias("id_a"), F.col("psig").alias("psig_a"), "tbl", "bucket"
     )
     b = skinny.select(
-        F.col("vec_id").alias("id_b"), F.col("sig").alias("sig_b"), "tbl", "bucket"
+        F.col("vec_id").alias("id_b"), F.col("psig").alias("psig_b"), "tbl", "bucket"
     )
     # first-collision dedup: emit the pair only from the FIRST table whose
-    # buckets agree — exactly-once per pair, so no distinct shuffle exists
-    first_tbl = (
-        F.array_position(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            F.lit(True),
-        )
-        - 1
+    # buckets agree — exactly-once per pair, so no distinct shuffle exists.
+    # SWAR check on the packed signatures: x = psig_a XOR psig_b; y gathers
+    # each 2-bit group's OR at its low bit (x | x>>1, masked to 01-pattern);
+    # "tbl is the first match" ⟺ every group BELOW tbl is nonzero in y
+    # (the group AT tbl matches by join construction).
+    ALT = 0x5555555555555555  # 01 repeating — low bit of every 2-bit group
+    x = F.col("psig_a").bitwiseXOR(F.col("psig_b"))
+    y = x.bitwiseOR(F.shiftrightunsigned(x, 1)).bitwiseAND(F.lit(ALT))
+    # 01-pattern covering groups < tbl, looked up from a 24-entry literal
+    below = F.element_at(
+        F.lit([(4**t - 1) & ALT for t in range(ND_TABLES)]), F.col("tbl") + 1
     )
     pairs = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("tbl") == first_tbl)
+        .filter(y.bitwiseAND(below) == below)
         .select("id_a", "id_b")
     )
     # verify: vectors + norms arrive via plain KEYED joins with NO broadcast
@@ -569,8 +585,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     within those lists only. Approximate vs brute force (recall gated in
     tests) but fully DETERMINISTIC (seeded centroids, integer-quantized Lloyd
     sums) — the query is DuckDB-oracle-verified end to end."""
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        # ^ single-split testdata: the per-row K×dim argmax (a heavy HOF —
+        # kept JVM-side because its float ops must mirror the SQL oracle's)
+        # otherwise runs in ONE task
     )
     cents, index = build_ivf(emb)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
