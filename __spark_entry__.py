@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship pricing-summary aggregate at sf0.001.
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data ops: dedup, similarity, text analysis,
-multimodal); ``oracle_sql()`` carries a hard check for ALL 49 — 47 as
-DuckDB-equivalent ANSI SQL (including a recursive-CTE LCS for spell_match),
+multimodal); ``oracle_sql()`` carries a hard check for ALL 52 — 50 as
+DuckDB-equivalent ANSI SQL (including a recursive-CTE LCS for spell_match
+and a transitive-closure CTE for dedup_clusters),
 hll_distinct as a tolerance-band contract (exact distinct hash-compared +
 within-3·rsd boolean the oracle pins TRUE), and template_induction as a
 checked-in deterministic golden VALUES literal (the fixpoint is not

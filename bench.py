@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     # round 3 additions
     "spell_match",
     "hll_distinct",
+    "dedup_clusters",
+    "pack_sequences",
+    "source_mix",
 ]
 
 ENGINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))

@@ -6,17 +6,27 @@ Modules register into QUERIES/ORACLES dicts consumed by __spark_entry__.
 """
 
 from log_anomaly_detector_spark.operators import (
+    dedup_clusters,
     multimodal,
     relational,
     similarity,
     spell_match,
     text,
+    training_mix,
 )
 from log_anomaly_detector_spark.operators.template_induction import (
     q_template_induction,
 )
 
-_MODULES = (relational, text, similarity, spell_match, multimodal)
+_MODULES = (
+    relational,
+    text,
+    similarity,
+    spell_match,
+    dedup_clusters,
+    training_mix,
+    multimodal,
+)
 
 
 def all_queries():
