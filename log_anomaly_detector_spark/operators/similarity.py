@@ -352,54 +352,93 @@ ND_TABLES = 24
 ND_PLANES = 2
 
 
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    dim = _emb_dim(raw)
-    # testdata parquet arrives as ONE split; the cheap id repartition
-    # parallelizes the signature kernel and the norm computation
-    emb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    udf = _bucket_udf(dim, ND_TABLES, ND_PLANES)
-    # SKINNY candidate stream: only (id, PACKED signature) rides the bucket
-    # self-join — vector payloads stay out of the wide ops entirely, and the
-    # whole 24-table signature is ONE long (ND_PLANES=2 bits per bucket ×
-    # ND_TABLES=24 = 48 bits), so the per-pair dedup check below is a couple
-    # of integer ops instead of a 24-element array walk.
-    assert ND_PLANES == 2 and ND_TABLES * ND_PLANES <= 62, "packing assumes 2-bit buckets"
-    group_pows = [4**i for i in range(ND_TABLES)]  # bucket_t << 2t
-    packed = F.aggregate(
-        F.zip_with(F.col("sig"), F.lit(group_pows), lambda bkt, p: bkt * p),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = ND_THRESHOLD,
+    n_tables: int = ND_TABLES,
+    planes: int = ND_PLANES,
+) -> DataFrame:
+    """All (id_a < id_b, cosine) pairs with cosine ≥ threshold over
+    ``emb(vec_id, v array<double>)`` — LSH-bucket candidates + exact verify.
+
+    Parameterized for the full regime spectrum: the contract fixture runs
+    τ=0.45 / 2 planes / 24 tables (per-pair miss ≈ 2e-6 at the threshold —
+    but τ this low sits in hyperplane LSH's no-pruning regime, so most pairs
+    are candidates on a far-neighbor corpus); production near-dup dedup runs
+    τ ≥ 0.8-0.9 where MORE planes per table prune hard (random pairs match a
+    p-plane table with prob ~2^-p) and the table count for recall stays
+    modest (miss/table = 1-(1-θ/π)^p, tables chosen so miss^L is
+    negligible).
+
+    Pair dedup is map-side via first-colliding-table signatures, picked by
+    config width: ≤62 signature bits → ONE packed long + SWAR group check;
+    wider (many-plane) configs carry the bucket array and walk it with
+    zip_with — same exactly-once semantics, no dropDuplicates shuffle in
+    either path. Vector fetch is hint-free keyed joins (AQE may broadcast at
+    small scale; shuffles, never OOMs, at 10^12 vectors)."""
+    dim = _emb_dim(emb)
+    udf = _bucket_udf(dim, n_tables, planes)
     sigs = emb.select("vec_id", udf(F.col("v")).alias("sig"))
-    skinny = sigs.select(
-        "vec_id", packed.alias("psig"), F.posexplode("sig").alias("tbl", "bucket")
-    )
-    a = skinny.select(
-        F.col("vec_id").alias("id_a"), F.col("psig").alias("psig_a"), "tbl", "bucket"
-    )
-    b = skinny.select(
-        F.col("vec_id").alias("id_b"), F.col("psig").alias("psig_b"), "tbl", "bucket"
-    )
-    # first-collision dedup: emit the pair only from the FIRST table whose
-    # buckets agree — exactly-once per pair, so no distinct shuffle exists.
-    # SWAR check on the packed signatures: x = psig_a XOR psig_b; y gathers
-    # each 2-bit group's OR at its low bit (x | x>>1, masked to 01-pattern);
-    # "tbl is the first match" ⟺ every group BELOW tbl is nonzero in y
-    # (the group AT tbl matches by join construction).
-    ALT = 0x5555555555555555  # 01 repeating — low bit of every 2-bit group
-    x = F.col("psig_a").bitwiseXOR(F.col("psig_b"))
-    y = x.bitwiseOR(F.shiftrightunsigned(x, 1)).bitwiseAND(F.lit(ALT))
-    # 01-pattern covering groups < tbl, looked up from a 24-entry literal
-    below = F.element_at(
-        F.lit([(4**t - 1) & ALT for t in range(ND_TABLES)]), F.col("tbl") + 1
-    )
+    if n_tables * planes <= 62:
+        # SKINNY candidate stream: only (id, PACKED signature) rides the
+        # bucket self-join — the whole signature is ONE long (planes bits per
+        # bucket × n_tables groups), so the per-pair dedup check is a couple
+        # of integer ops instead of a per-table array walk.
+        gbits = planes
+        group_pows = [2 ** (gbits * i) for i in range(n_tables)]
+        packed = F.aggregate(
+            F.zip_with(F.col("sig"), F.lit(group_pows), lambda bkt, p: bkt * p),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        skinny = sigs.select(
+            "vec_id", packed.alias("psig"), F.posexplode("sig").alias("tbl", "bucket")
+        )
+        a = skinny.select(
+            F.col("vec_id").alias("id_a"), F.col("psig").alias("psig_a"), "tbl", "bucket"
+        )
+        b = skinny.select(
+            F.col("vec_id").alias("id_b"), F.col("psig").alias("psig_b"), "tbl", "bucket"
+        )
+        # first-collision dedup: emit the pair only from the FIRST table
+        # whose buckets agree — exactly-once per pair, no distinct shuffle.
+        # SWAR: x = psig_a XOR psig_b; y gathers each group's OR-of-bits at
+        # the group's low bit; "tbl is the first match" ⟺ every group BELOW
+        # tbl is nonzero in y (the group AT tbl matches by join construction).
+        low_mask = sum(1 << (gbits * i) for i in range(n_tables))
+        x = F.col("psig_a").bitwiseXOR(F.col("psig_b"))
+        y = x
+        for k in range(1, gbits):
+            y = y.bitwiseOR(F.shiftrightunsigned(x, k))
+        y = y.bitwiseAND(F.lit(low_mask))
+        below = F.element_at(  # low-bit pattern covering groups < tbl
+            F.lit([(2 ** (gbits * t) - 1) & low_mask for t in range(n_tables)]),
+            F.col("tbl") + 1,
+        )
+        first_hit = y.bitwiseAND(below) == below
+    else:
+        # wide config: carry the bucket array, first match via zip_with walk
+        skinny = sigs.select(
+            "vec_id", "sig", F.posexplode("sig").alias("tbl", "bucket")
+        )
+        a = skinny.select(
+            F.col("vec_id").alias("id_a"), F.col("sig").alias("sig_a"), "tbl", "bucket"
+        )
+        b = skinny.select(
+            F.col("vec_id").alias("id_b"), F.col("sig").alias("sig_b"), "tbl", "bucket"
+        )
+        first_hit = (
+            F.col("tbl")
+            == F.array_position(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda s, t: s == t),
+                F.lit(True),
+            )
+            - 1
+        )
     pairs = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(y.bitwiseAND(below) == below)
+        .filter(first_hit)
         .select("id_a", "id_b")
     )
     # verify: vectors + norms arrive via plain KEYED joins with NO broadcast
@@ -426,8 +465,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         paired.select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= ND_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
     )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # testdata parquet arrives as ONE split; the cheap id repartition
+    # parallelizes the signature kernel and the norm computation
+    emb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    return embedding_near_dup_pairs(emb)
 
 
 _EMB_NEARDUP_SQL = f"""

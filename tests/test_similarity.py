@@ -34,6 +34,50 @@ def test_ivf_recall(spark, exact):
     assert len(exact & ivf) / len(exact) >= 0.5
 
 
+def test_near_dup_high_threshold_regime(spark):
+    """embedding_near_dup_pairs in the PRODUCTION regime (τ=0.9, 6 planes ×
+    16 tables — the wide/array dedup path and real bucket pruning): on a
+    corpus of random far vectors + planted near-identical pairs, the LSH
+    plan must reproduce the brute-force pair set exactly (per-true-pair miss
+    at cosine ≥ 0.98 is ~1e-8 with this config)."""
+    import numpy as np
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(50, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = {i: base[i] for i in range(50)}
+    for k in range(5):  # planted dups: 100+k ≈ copy of k (cosine > 0.99)
+        w = base[k] + rng.normal(scale=0.01, size=64)
+        vecs[100 + k] = w / np.linalg.norm(w)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, v array<double>",
+    ).repartition(5)
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    ids = sorted(vecs)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if round(cos(vecs[a], vecs[b]), 6) >= 0.9
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.9, n_tables=16, planes=6
+        ).collect()
+    }
+    assert truth == {(k, 100 + k) for k in range(5)}  # fixture sanity
+    assert got == truth
+
+
 def test_minhash_finds_jaccard_pairs(spark):
     """MinHash-LSH candidates must cover most true 3-gram-Jaccard near-dups."""
     truth = {
