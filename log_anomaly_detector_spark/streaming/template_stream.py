@@ -35,6 +35,7 @@ def match_log_stream(
     st: float = 0.5,
     logformat: str = DEFAULT_LOGFORMAT,
     content_rexes: tuple[str, ...] = DEFAULT_CONTENT_REXES,
+    matcher: str = "drain",
 ) -> None:
     """Drain one pass over everything currently in ``input_dir``
     (``availableNow`` trigger — restartable: the checkpoint remembers
@@ -42,7 +43,14 @@ def match_log_stream(
     ``{out_dir}/matched`` parquet.
 
     ``templates``: warm dim with a ``template`` string column (the same
-    contract as induce_templates' warm start)."""
+    contract as induce_templates' warm start).
+
+    ``matcher``: "drain" (positional similarity, the default) or "spell"
+    (LCS similarity, the reference's second parser family) — both accept a
+    line iff score ≥ ``st`` (Spell's score = lcs_len/|seq|, exactly its
+    tau·|seq| acceptance rewritten as a ratio), both broadcast the dim."""
+    if matcher not in ("drain", "spell"):
+        raise ValueError(f"matcher must be 'drain' or 'spell', got {matcher!r}")
     tmpl = templates.select(
         F.col("template").alias("template_id"),
         F.split(F.trim("template"), " +").alias("template_tokens"),
@@ -58,15 +66,36 @@ def match_log_stream(
             "LineId",
             F.split(F.trim("EventTemplate"), " +").alias("tokens"),
         )
-        matched = match_templates(
-            lines,
-            tmpl,
-            st=st,
-            line_id="LineId",
-            line_tokens="tokens",
-            template_id="template_id",
-            template_tokens="template_tokens",
-        )
+        if matcher == "spell":
+            from log_anomaly_detector_spark.operators.spell_match import (
+                spell_match,
+            )
+
+            matched = spell_match(
+                lines,
+                tmpl,
+                tau=st,
+                line_id="LineId",
+                line_tokens="tokens",
+                template_id="template_id",
+                template_tokens="template_tokens",
+            ).join(
+                lines.select("LineId", F.size("tokens").alias("_n")), "LineId"
+            ).select(
+                "LineId",
+                "matched_template_id",
+                F.round(F.col("lcs_len") / F.col("_n"), 6).alias("similarity"),
+            )
+        else:
+            matched = match_templates(
+                lines,
+                tmpl,
+                st=st,
+                line_id="LineId",
+                line_tokens="tokens",
+                template_id="template_id",
+                template_tokens="template_tokens",
+            )
         out = (
             structured.join(matched, "LineId", "left")
             .select(

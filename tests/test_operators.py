@@ -116,13 +116,14 @@ def test_no_forced_full_corpus_broadcast(spark):
     adapt away as the table grows) are exempt by construction: the audit sees
     only ResolvedHint nodes."""
     from log_anomaly_detector_spark.operators.similarity import (
+        q_ann_ivf,
         q_ann_lsh,
         q_cosine_topk,
         q_embedding_near_dup,
     )
     from log_anomaly_detector_spark.plans import forced_raw_broadcasts
 
-    for q in (q_embedding_near_dup, q_ann_lsh, q_cosine_topk):
+    for q in (q_embedding_near_dup, q_ann_lsh, q_ann_ivf, q_cosine_topk):
         n = forced_raw_broadcasts(q(spark, SF_DIR), "embedding")
         assert n == 0, f"{q.__name__} forces {n} raw-corpus broadcast(s)"
 

@@ -210,3 +210,29 @@ def test_template_match_stream(spark, tmp_path):
     df = spark.read.parquet(f"{out}/matched")
     assert df.count() == 3
     assert df.filter("is_anomaly").count() == 1
+
+
+def test_match_log_stream_spell_matcher(spark, tmp_path):
+    """The streaming matcher's Spell (LCS) variant: same lifecycle, LCS
+    acceptance — known-shape lines match with similarity 1.0 (full-length
+    LCS against their own warm template), novel shapes flag anomalous."""
+    from log_anomaly_detector_spark.streaming.template_stream import (
+        match_log_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    (in_dir / "a.log").write_text(
+        "081109 203615 143 INFO dfs.DataNode: Receiving block blk_1 src 10.0.0.1\n"
+        "081109 203616 143 WARN dfs.Weird: Completely novel shape here now ok\n"
+    )
+    warm = spark.createDataFrame(
+        [("Receiving block blk_<*> src <*>",)], "template string"
+    )
+    match_log_stream(spark, str(in_dir), warm, out, st=0.5, matcher="spell")
+    rows = {r["Content"]: r for r in spark.read.parquet(f"{out}/matched").collect()}
+    hit = rows["Receiving block blk_1 src 10.0.0.1"]
+    assert hit["is_anomaly"] is False
+    assert hit["similarity"] == 1.0
+    assert rows["Completely novel shape here now ok"]["is_anomaly"] is True
