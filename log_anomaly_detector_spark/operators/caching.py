@@ -13,6 +13,14 @@ invocation under the same key unpersists the previous handle (blocking=False
 — Spark drops the blocks asynchronously) before registering the new one.
 Long sessions therefore hold at most one cached copy per query, and
 ``release_all()`` drops everything (tests / session teardown).
+
+SAFETY CONTRACT: only use this for intermediates whose recompute is
+DETERMINISTIC (pure expressions over stable inputs, like the Jaccard
+shingle sets) — eviction means a later materialization may recompute the
+plan from scratch. It is NOT safe for re-sampled layouts: a
+``repartitionByRange`` re-samples its boundaries on recompute, so anything
+that pairs collected metadata with that layout must ``localCheckpoint``
+instead (see relational._two_phase_rank).
 """
 
 from __future__ import annotations

@@ -219,7 +219,12 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users_exact"),
         )
     )
-    ok = (
+    # zero guard: a group whose user_id values are all NULL has exact = 0 —
+    # 0/0 would be NaN (≤ always false) and fail the gate on a DATA shape,
+    # not a sketch regression; exact 0 is in-band iff the sketch also says 0
+    ok = F.when(
+        F.col("n_users_exact") == 0, F.col("_approx") == 0
+    ).otherwise(
         F.abs(F.col("_approx") - F.col("n_users_exact"))
         / F.col("n_users_exact")
         <= 3 * HLL_RSD
@@ -684,14 +689,21 @@ def _two_phase_rank(
     df: DataFrame, order: list, rank_alias: str, n_parts: int = VOCAB_RANK_PARTS
 ) -> DataFrame:
     """Exact global row_number() over ``order`` without a single-partition
-    window: repartitionByRange + local rank + per-range offsets."""
-    from log_anomaly_detector_spark.operators.caching import tracked_persist
+    window: repartitionByRange + local rank + per-range offsets.
 
-    ranged = tracked_persist(
-        f"two_phase_rank:{rank_alias}",
-        df.repartitionByRange(n_parts, *order).withColumn(
-            "_rpid", F.spark_partition_id()
-        ),
+    The ranged layout is ``localCheckpoint``-ed (eager), NOT persisted: the
+    offsets collected below are only valid against the exact partitioning
+    they were counted on, and repartitionByRange RE-SAMPLES its boundaries
+    on any recompute (different RDD id → different sampling seed) — a
+    recomputed persist/cache would silently pair old offsets with a new
+    layout and produce duplicated/gapped ranks. A checkpoint stores the
+    rows themselves: recompute is impossible, lost blocks fail loudly, and
+    the storage is released when the DataFrame is garbage-collected (no
+    tracked-handle bookkeeping needed)."""
+    ranged = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("_rpid", F.spark_partition_id())
+        .localCheckpoint()
     )
     sizes = {
         r["_rpid"]: r["n"]

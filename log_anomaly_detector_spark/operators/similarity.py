@@ -337,13 +337,13 @@ GROUP BY 1, 2
 # join, so exactness of the bucketed plan is checked at every sf the driver
 # runs. The Spark plan never theta-joins two unbounded sides and NEVER
 # broadcasts the corpus:
-#   * each vector carries its norm + full signature array + payload through
-#     the ONE bucket self-join (keyed shuffle — the standard LSH-join cost,
-#     L× replication of the vector payload, distributed-safe at any N);
+#   * the bucket self-join ships only SKINNY (id, packed/array signature)
+#     rows — vector payloads stay out of the wide candidate stream;
 #   * pair dedup is MAP-SIDE: a colliding pair is emitted only from the FIRST
-#     table where its signatures agree (zip_with equality + array_position),
-#     so no dropDuplicates shuffle and no vector re-fetch joins exist at all;
-#   * exact cosine evaluates in the same stage on the carried payloads.
+#     table where its signatures agree, so no dropDuplicates shuffle exists;
+#   * exact cosine runs after hint-free KEYED vector-fetch joins (AQE may
+#     broadcast the dim-sized side at bench scale; at 10^12 vectors the same
+#     plan shuffles instead of OOMing).
 # Bucket selectivity is corpus-dependent: this synthetic far-neighbor corpus
 # (bulk cosine ~0.3 vs τ=0.45) makes most pairs candidates — a real embedding
 # corpus with separated clusters prunes far harder at the same guarantees. ----
@@ -357,6 +357,7 @@ def embedding_near_dup_pairs(
     threshold: float = ND_THRESHOLD,
     n_tables: int = ND_TABLES,
     planes: int = ND_PLANES,
+    dim: int | None = None,
 ) -> DataFrame:
     """All (id_a < id_b, cosine) pairs with cosine ≥ threshold over
     ``emb(vec_id, v array<double>)`` — LSH-bucket candidates + exact verify.
@@ -375,8 +376,12 @@ def embedding_near_dup_pairs(
     wider (many-plane) configs carry the bucket array and walk it with
     zip_with — same exactly-once semantics, no dropDuplicates shuffle in
     either path. Vector fetch is hint-free keyed joins (AQE may broadcast at
-    small scale; shuffles, never OOMs, at 10^12 vectors)."""
-    dim = _emb_dim(emb)
+    small scale; shuffles, never OOMs, at 10^12 vectors).
+
+    Pass ``dim`` when ``emb`` sits behind a repartition/shuffle — the
+    fallback one-row probe would otherwise run the whole shuffle-map stage
+    just to read a vector length."""
+    dim = dim if dim is not None else _emb_dim(emb)
     udf = _bucket_udf(dim, n_tables, planes)
     sigs = emb.select("vec_id", udf(F.col("v")).alias("sig"))
     if n_tables * planes <= 62:
@@ -474,9 +479,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # testdata parquet arrives as ONE split; the cheap id repartition
-    # parallelizes the signature kernel and the norm computation
+    # parallelizes the signature kernel and the norm computation. The dim
+    # probe reads ONE row off the raw scan (pre-repartition — probing the
+    # shuffled side would run the whole shuffle-map stage for one row).
     emb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    return embedding_near_dup_pairs(emb)
+    return embedding_near_dup_pairs(emb, dim=_emb_dim(raw))
 
 
 _EMB_NEARDUP_SQL = f"""
@@ -528,12 +535,16 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
-def build_ivf(emb: DataFrame) -> tuple[list[list[float]], DataFrame]:
+def build_ivf(
+    emb: DataFrame, dim: int | None = None
+) -> tuple[list[list[float]], DataFrame]:
     """Returns (centroids as driver-side K×dim floats, index(vec_id, v, cid)).
 
     Centroid collection is O(K×dim) driver data — the analogue of a trained
-    coarse quantizer, which IS driver/broadcast state in any IVF system."""
-    dim = _emb_dim(emb)
+    coarse quantizer, which IS driver/broadcast state in any IVF system.
+    Pass ``dim`` when ``emb`` sits behind a shuffle (see
+    embedding_near_dup_pairs)."""
+    dim = dim if dim is not None else _emb_dim(emb)
     seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).orderBy("vec_id").collect()
     c0 = [list(r["v"]) for r in seeds]
     a0 = _assign(emb, c0)
@@ -634,15 +645,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     within those lists only. Approximate vs brute force (recall gated in
     tests) but fully DETERMINISTIC (seeded centroids, integer-quantized Lloyd
     sums) — the query is DuckDB-oracle-verified end to end."""
-    emb = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        # ^ single-split testdata: the per-row K×dim argmax (a heavy HOF —
-        # kept JVM-side because its float ops must mirror the SQL oracle's)
-        # otherwise runs in ONE task
+    raw = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents, index = build_ivf(emb)
+    # single-split testdata: the per-row K×dim argmax (a heavy HOF — kept
+    # JVM-side because its float ops must mirror the SQL oracle's) otherwise
+    # runs in ONE task; the dim probe reads one row off the raw scan
+    emb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    cents, index = build_ivf(emb, dim=_emb_dim(raw))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )

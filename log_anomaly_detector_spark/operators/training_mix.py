@@ -7,13 +7,25 @@ Both are pure hash/window arithmetic — no RNG, no Python — so each carries
 a bit-exact DuckDB oracle (the same md5-coin construction as seeded_sample /
 mask_tokens).
 
+Reference anchors: packing generalizes the reference's fixed ``seq_len``
+sample assembly (bert_pytorch/dataset/dataset.py:8-44 — documents sliced
+and concatenated to a token budget per training row); mixing generalizes
+its ratio-based train/test sampling (``generate_train_test``,
+HDFS/data_process.py:98-116 — `.sample(frac=...)` per stratum) with
+deterministic hash coins instead of engine RNG.
+
 Scale shapes:
 * packing — a TRUE global first-fit pack is inherently sequential; the
-  scalable variant packs within P independent hash buckets (window
-  partitioned by bucket — P ≈ cluster parallelism, each bin fills from one
-  bucket's ordered stream). A document whose start falls inside a bin is
-  assigned to it even if it overruns the budget (streaming-pack semantics:
-  the consumer truncates/wraps at bin boundaries). No global window exists.
+  scalable variant packs within ``n_buckets`` independent md5-hash buckets
+  (window partitioned by bucket, never global). The bucket count is a
+  LAYOUT PARAMETER of the output, not a runtime tuning knob: changing it
+  changes every bin assignment, so it is fixed at pipeline-config time —
+  set it ≈ the cluster's target parallelism so each window partition
+  (corpus/n_buckets rows) is executor-sized. The contract query pins
+  n_buckets=8 for the driver fixture; ``pack_documents`` takes it as a
+  parameter. A document whose start falls inside a bin is assigned to it
+  even if it overruns the budget (streaming-pack semantics: the consumer
+  truncates/wraps at bin boundaries).
 * mixing — one scan, a per-row md5 coin against the stratum's rate; the
   weight table is a literal (config-sized).
 """
@@ -48,13 +60,20 @@ def _md5_bucket(key, seed: int):
     )
 
 
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_documents(
+    docs: DataFrame,
+    n_buckets: int = PACK_BUCKETS,
+    budget: int = PACK_BUDGET,
+    seed: int = PACK_SEED,
+) -> DataFrame:
     """(doc_id, pack_bucket, bin_id, tok_offset, n_tok): which training bin
     each document lands in and at what token offset, packing greedily in
-    doc_id order within each of PACK_BUCKETS hash buckets."""
-    docs = t(spark, sf_dir, "documents")
+    doc_id order within each of ``n_buckets`` md5-hash buckets (see module
+    docstring for the layout-parameter semantics of ``n_buckets``).
+    Reference analogue: fixed seq_len sample assembly,
+    bert_pytorch/dataset/dataset.py:8-44."""
     n_tok = F.size(words(F.col("text")))
-    bucket = (_md5_bucket(F.col("doc_id"), PACK_SEED) % PACK_BUCKETS).cast("int")
+    bucket = (_md5_bucket(F.col("doc_id"), seed) % n_buckets).cast("int")
     base = docs.select(
         "doc_id", bucket.alias("pack_bucket"), n_tok.alias("n_tok")
     )
@@ -63,10 +82,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("doc_id", "pack_bucket", "n_tok", start).select(
         "doc_id",
         "pack_bucket",
-        F.floor(F.col("_start") / PACK_BUDGET).cast("int").alias("bin_id"),
-        (F.col("_start") % PACK_BUDGET).cast("int").alias("tok_offset"),
+        F.floor(F.col("_start") / budget).cast("int").alias("bin_id"),
+        (F.col("_start") % budget).cast("int").alias("tok_offset"),
         "n_tok",
     )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_documents(t(spark, sf_dir, "documents"))
 
 
 _PACK_SQL = f"""
@@ -92,7 +115,10 @@ FROM cum
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically sample each language at its mix weight and report
     the per-language kept/total counts — the reweighting audit a mix builder
-    emits. Unlisted languages default to rate 0 (dropped)."""
+    emits. Unlisted languages default to rate 0 (dropped). Reference
+    analogue: ratio-based stratum sampling in generate_train_test,
+    HDFS/data_process.py:98-116 (engine RNG `.sample(frac=...)` there →
+    deterministic md5 coins here)."""
     docs = t(spark, sf_dir, "documents")
     rate = F.coalesce(
         *[

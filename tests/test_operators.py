@@ -196,6 +196,28 @@ def test_two_phase_rank_matches_local_sort(spark):
     assert ranked == want
 
 
+def test_two_phase_rank_interleaved_builds_stay_consistent(spark):
+    """Two _two_phase_rank builds followed by materializing the FIRST: the
+    ranks must still be an exact permutation. (Regression: a shared cache
+    key let the second build evict the first's ranged layout; recompute
+    re-sampled repartitionByRange boundaries and silently paired the old
+    offsets with a new layout — duplicated/gapped ranks. localCheckpoint
+    makes that recompute impossible.)"""
+    from pyspark.sql import functions as F
+    from log_anomaly_detector_spark.operators.relational import _two_phase_rank
+
+    df1 = spark.createDataFrame(
+        [(f"a{i:05d}", i % 13) for i in range(4_000)], "word string, freq long"
+    ).repartition(11)
+    df2 = spark.createDataFrame(
+        [(f"b{i:05d}", i % 7) for i in range(4_000)], "word string, freq long"
+    ).repartition(9)
+    r1 = _two_phase_rank(df1, [F.desc("freq"), F.asc("word")], "rank", n_parts=8)
+    _two_phase_rank(df2, [F.desc("freq"), F.asc("word")], "rank", n_parts=8)
+    ranks = sorted(r["rank"] for r in r1.collect())
+    assert ranks == list(range(1, 4_001))
+
+
 def test_kmv_topk_is_partial_window_group_limit(spark):
     """KMV's per-group k-th minimum must plan a PARTIAL WindowGroupLimit —
     tasks keep only their local k smallest per group before the shuffle, so

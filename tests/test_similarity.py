@@ -34,6 +34,38 @@ def test_ivf_recall(spark, exact):
     assert len(exact & ivf) / len(exact) >= 0.5
 
 
+def test_bucket_kernel_matches_catalyst_reference(spark):
+    """The Arrow signature kernel (_bucket_udf, numpy integer matmul) must be
+    bit-identical to the pure-Catalyst reference formulation (_bucket_array)
+    — the equivalence guard the reference implementation exists for."""
+    from pyspark.sql import functions as F
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        _bucket_array,
+        _bucket_udf,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(60)
+    )
+    for n_tables, planes in ((24, 2), (8, 4)):
+        ref = {
+            r["vec_id"]: list(r["sig"])
+            for r in emb.select(
+                "vec_id", _bucket_array(F.col("v"), 64, n_tables, planes).alias("sig")
+            ).collect()
+        }
+        got = {
+            r["vec_id"]: list(r["sig"])
+            for r in emb.select(
+                "vec_id", _bucket_udf(64, n_tables, planes)(F.col("v")).alias("sig")
+            ).collect()
+        }
+        assert got == ref, (n_tables, planes)
+
+
 def test_near_dup_high_threshold_regime(spark):
     """embedding_near_dup_pairs in the PRODUCTION regime (τ=0.9, 6 planes ×
     16 tables — the wide/array dedup path and real bucket pruning): on a

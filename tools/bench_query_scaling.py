@@ -57,10 +57,17 @@ def run_once(data_dir: str, cores: int, queries: list[str]) -> dict:
         root=ROOT, cores=cores, queries=queries, data_dir=data_dir,
         out_path=out_path,
     )
-    subprocess.run(
-        [sys.executable, "-c", code], check=True,
-        capture_output=True, text=True,
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
     )
+    if r.returncode != 0:
+        # surface the child JVM's actual failure — a bare CalledProcessError
+        # would discard the Spark traceback a multi-hour run died with
+        sys.stderr.write(r.stderr[-4000:])
+        raise RuntimeError(
+            f"scaling worker (local[{cores}]) exited {r.returncode}; "
+            "stderr tail above"
+        )
     with open(out_path) as f:
         walls = json.load(f)
     os.unlink(out_path)
