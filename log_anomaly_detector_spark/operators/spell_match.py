@@ -17,8 +17,11 @@ Reference semantics being reproduced (logparser/Spell.py):
   authoritative LCS tier.
 
 Spark lift: templates are a dim-sized broadcast side; the set-overlap
-prefilter becomes the join predicate (each line scores only overlapping
-templates — the same pruning role as the reference's set check); LCS itself
+prefilter becomes a PREFIX-PRINCIPLE EQUI TOKEN JOIN (a line's first
+|distinct|−⌈len/2⌉+1 canonical-order distinct tokens must hit any
+qualifying template, so candidates come from a hash join on single tokens,
+never a per-line nested-loop scan of the dim — plan-asserted); the exact
+overlap check then runs on candidates only, and LCS itself
 is a pure Catalyst fold: ``aggregate`` over the line's tokens with the DP row
 as the accumulator. One step of the classic recurrence
 
@@ -108,29 +111,55 @@ def spell_match(
         F.col(template_tokens).alias("_ttok"),
         F.size(template_tokens).alias("_m"),
     )
-    overlap = F.size(F.array_intersect(l["_ltok"], t["_ttok"]))
-    cand = l.join(F.broadcast(t), overlap >= 0.5 * l["_n"], "left")
+    # ---- candidate generation: EQUI token join via the prefix principle,
+    # never a per-line scan of the dim (a non-equi overlap predicate would
+    # plan a BroadcastNestedLoopJoin — linear in |dim| per line). The
+    # reference's prefilter is |distinct(A) ∩ B| ≥ 0.5·len(A) (raw length!).
+    # Any probe set of the first |distinct(A)| − ⌈len(A)/2⌉ + 1 canonical-
+    # order distinct tokens must hit a qualifying template: if it misses,
+    # the overlap is ≤ ⌈len(A)/2⌉ − 1 < 0.5·len(A). Lines whose probe
+    # length is ≤ 0 can match nothing and fall out naturally (re-attached
+    # as unmatched by the final left join). ----------------------------------
+    min_overlap = F.ceil(F.col("_n") / 2).cast("int")
+    dset = F.array_sort(F.array_distinct(F.col("_ltok")))
+    probe_len = F.size(dset) - min_overlap + 1
+    probes = l.select(
+        "_lid", F.explode(F.slice(dset, 1, F.greatest(probe_len, F.lit(0)))).alias("_tok")
+    )
+    t_toks = t.select(
+        "_tid", F.explode(F.array_distinct(F.col("_ttok"))).alias("_tok")
+    )
+    cand_ids = (
+        probes.join(F.broadcast(t_toks), "_tok")
+        .select("_lid", "_tid")
+        .dropDuplicates(["_lid", "_tid"])
+    )
+    cand = (
+        cand_ids.join(l, "_lid")
+        .join(F.broadcast(t), "_tid")
+        # the exact reference prefilter, now evaluated on candidates only
+        .filter(
+            F.size(F.array_intersect(F.col("_ltok"), F.col("_ttok")))
+            >= 0.5 * F.col("_n")
+        )
+    )
     lcs = lcs_length(F.col("_ltok"), F.col("_ttok"))
-    scored = cand.select(
-        "_lid",
-        "_n",
-        "_tid",
-        F.when(F.col("_ttok").isNotNull(), lcs).alias("_lcs"),
-        "_m",
-    )
+    scored = cand.select("_lid", "_n", "_tid", lcs.alias("_lcs"), "_m")
     w = Window.partitionBy("_lid").orderBy(
-        F.desc_nulls_last("_lcs"), F.asc_nulls_last("_m"), F.asc("_tid")
+        F.desc("_lcs"), F.asc("_m"), F.asc("_tid")
     )
-    return (
+    best = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(
-            F.col("_lid").alias(line_id),
-            F.when(F.col("_lcs") >= tau * F.col("_n"), F.col("_tid")).alias(
-                "matched_template_id"
-            ),
-            F.col("_lcs").cast("int").alias("lcs_len"),
-        )
+        .select("_lid", "_tid", "_lcs", "_n")
+    )
+    # every line gets a row; candidate-less lines surface as NULL/NULL
+    return l.select("_lid", "_n").join(best.drop("_n"), "_lid", "left").select(
+        F.col("_lid").alias(line_id),
+        F.when(F.col("_lcs") >= tau * F.col("_n"), F.col("_tid")).alias(
+            "matched_template_id"
+        ),
+        F.col("_lcs").cast("int").alias("lcs_len"),
     )
 
 

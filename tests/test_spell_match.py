@@ -90,3 +90,14 @@ def test_spell_match_reference_decisions(spark):
     assert got[1] == ("T3", 2)
     assert got[2] == (None, None)
     assert got[3][0] is None
+
+
+def test_spell_match_plans_equi_candidate_join(spark):
+    """Candidates come from the prefix-principle token hash join — the plan
+    must contain no nested-loop scan of the template dim per line."""
+    from log_anomaly_detector_spark.operators.spell_match import q_spell_match
+    from log_anomaly_detector_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_spell_match(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
