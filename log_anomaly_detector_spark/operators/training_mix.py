@@ -48,8 +48,9 @@ MIX_SEED = 37
 
 
 def _md5_bucket(key, seed: int):
-    """0-99 md5 coin, identical construction to relational._hash_bucket
-    (kept local so this module's oracle strings stay self-contained)."""
+    """0-99 md5 coin (percent rates), identical construction to
+    relational._hash_bucket (kept local so this module's oracle strings stay
+    self-contained)."""
     return (
         F.conv(
             F.substring(F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, 6),
@@ -57,6 +58,20 @@ def _md5_bucket(key, seed: int):
             10,
         ).cast("long")
         % 100
+    )
+
+
+def _md5_bucket_n(key, seed: int, n: int):
+    """Uniform 0..n-1 md5 bucket for ANY n: reduces a 48-bit hash directly
+    mod n (reducing the 0-99 coin mod n would leave buckets ≥ 100 empty and
+    skew the rest whenever n does not divide 100)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        % n
     )
 
 
@@ -73,7 +88,7 @@ def pack_documents(
     Reference analogue: fixed seq_len sample assembly,
     bert_pytorch/dataset/dataset.py:8-44."""
     n_tok = F.size(words(F.col("text")))
-    bucket = (_md5_bucket(F.col("doc_id"), seed) % n_buckets).cast("int")
+    bucket = _md5_bucket_n(F.col("doc_id"), seed, n_buckets).cast("int")
     base = docs.select(
         "doc_id", bucket.alias("pack_bucket"), n_tok.alias("n_tok")
     )
@@ -89,13 +104,18 @@ def pack_documents(
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract entry for pack_documents over the driver's documents table
+    (n_buckets=8, budget=256 pinned to match the SQL oracle). Output columns
+    (doc_id, pack_bucket, bin_id, tok_offset, n_tok) alias both sides.
+    Reference analogue: fixed seq_len sample assembly,
+    bert_pytorch/dataset/dataset.py:8-44."""
     return pack_documents(t(spark, sf_dir, "documents"))
 
 
 _PACK_SQL = f"""
 WITH base AS (
   SELECT doc_id,
-         cast((('0x' || substr(md5(doc_id || ':{PACK_SEED}'), 1, 6))::bigint % 100)
+         cast(('0x' || substr(md5(doc_id || ':{PACK_SEED}'), 1, 12))::bigint
               % {PACK_BUCKETS} AS int) AS pack_bucket,
          len(string_split_regex(trim(text), ' +')) AS n_tok
   FROM documents

@@ -79,12 +79,6 @@ def match_log_stream(
                 line_tokens="tokens",
                 template_id="template_id",
                 template_tokens="template_tokens",
-            ).join(
-                lines.select("LineId", F.size("tokens").alias("_n")), "LineId"
-            ).select(
-                "LineId",
-                "matched_template_id",
-                F.round(F.col("lcs_len") / F.col("_n"), 6).alias("similarity"),
             )
         else:
             matched = match_templates(
@@ -96,17 +90,26 @@ def match_log_stream(
                 template_id="template_id",
                 template_tokens="template_tokens",
             )
-        out = (
-            structured.join(matched, "LineId", "left")
-            .select(
-                "LineId",
-                "Content",
-                "EventTemplate",
-                F.col("matched_template_id"),
+        joined = structured.join(matched, "LineId", "left")
+        if matcher == "spell":
+            # Spell's score as a ratio — the token count comes straight off
+            # the already-joined structured row (no extra per-batch join)
+            joined = joined.withColumn(
                 "similarity",
-                F.col("matched_template_id").isNull().alias("is_anomaly"),
-                F.lit(epoch_id).alias("epoch_id"),
+                F.round(
+                    F.col("lcs_len")
+                    / F.size(F.split(F.trim("EventTemplate"), " +")),
+                    6,
+                ),
             )
+        out = joined.select(
+            "LineId",
+            "Content",
+            "EventTemplate",
+            F.col("matched_template_id"),
+            "similarity",
+            F.col("matched_template_id").isNull().alias("is_anomaly"),
+            F.lit(epoch_id).alias("epoch_id"),
         )
         out.write.mode("append").parquet(f"{out_dir}/matched")
 

@@ -79,6 +79,9 @@ def test_spell_match_reference_decisions(spark):
             (2, ["totally", "novel", "line", "here"]),
             # shares 'recv block' but 2 < 0.5·5 → below tau either way
             (3, ["recv", "block", "x", "y", "z"]),
+            # zero tokens: reference arithmetic matches the SHORTEST template
+            # (all lcs 0, accept 0 >= tau·0) — T3 is the 3-token dim minimum
+            (4, []),
         ],
         "line_id long, tokens array<string>",
     )
@@ -90,6 +93,7 @@ def test_spell_match_reference_decisions(spark):
     assert got[1] == ("T3", 2)
     assert got[2] == (None, None)
     assert got[3][0] is None
+    assert got[4] == ("T3", 0)
 
 
 def test_spell_match_plans_equi_candidate_join(spark):
