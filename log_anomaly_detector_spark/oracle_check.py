@@ -36,9 +36,19 @@ def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 def compare_one(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> list[str]:
     """Returns a list of problems ([] = pass)."""
+    problems, _ = compare_one_counted(spark, con, name, fn, sql, sf_dir)
+    return problems
+
+
+def compare_one_counted(
+    spark, con, name: str, fn, sql: str | None, sf_dir: str
+) -> tuple[list[str], int]:
+    """(problems, spark_row_count) — runs the Spark query exactly ONCE, so
+    callers that also want the row count (check_oracles' PASS line) don't
+    re-execute iterative queries like template_induction a second time."""
     sdf = fn(spark, sf_dir).toPandas()
     if sql is None:
-        return [] if len(sdf) >= 0 else ["negative rows?"]
+        return ([] if len(sdf) >= 0 else ["negative rows?"]), len(sdf)
     odf = con.execute(sql).df()
     problems = []
     if len(sdf) != len(odf):
@@ -47,4 +57,4 @@ def compare_one(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> list
         problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
     elif value_hash(sdf) != value_hash(odf):
         problems.append("value-hash mismatch")
-    return problems
+    return problems, len(sdf)

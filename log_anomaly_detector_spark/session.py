@@ -53,3 +53,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def quiesce(spark: SparkSession, timeout_s: float = 30.0) -> None:
+    """Wait (bounded) for stray async jobs before ``spark.stop()``.
+
+    AQE submits broadcast-stage futures speculatively during planning; when
+    the final plan goes another way, the abandoned future keeps running for a
+    few seconds after the action returns. Stopping the session mid-task kills
+    its Python workers and spews 'Python worker exited unexpectedly (crashed)'
+    ERRORs into CLI output — harmless, but indistinguishable from a real
+    crash to a reader. CLIs call this between the last action and stop().
+    """
+    import time
+
+    tracker = spark.sparkContext.statusTracker()
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if not tracker.getActiveJobsIds():
+            return
+        time.sleep(0.2)

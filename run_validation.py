@@ -56,7 +56,7 @@ def main() -> int:
         gen_sequences,
     )
     from log_anomaly_detector_spark.engine import run_validation
-    from log_anomaly_detector_spark.session import get_spark
+    from log_anomaly_detector_spark.session import get_spark, quiesce
 
     cfg = DEFAULT_CONFIG
     if args.seq_threshold is not None:
@@ -98,6 +98,7 @@ def main() -> int:
                 {"materialized": d, "n_docs": spec.n_docs, "sec": round(time.time() - t0, 1)}
             )
         )
+        quiesce(spark)
         spark.stop()
         return 0
 
@@ -163,6 +164,7 @@ def main() -> int:
     summary = dict(res.metrics)
     summary["labels"] = {str(v["part_id"]): v["label"] for v in res.verdicts}
     print(json.dumps(summary))
+    quiesce(spark)
     spark.stop()
     return 0
 

@@ -15,8 +15,11 @@ sys.path.insert(0, ".")
 
 def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
     import __spark_entry__ as e
-    from log_anomaly_detector_spark.oracle_check import compare_one, duck_connection
-    from log_anomaly_detector_spark.session import get_spark
+    from log_anomaly_detector_spark.oracle_check import (
+        compare_one_counted,
+        duck_connection,
+    )
+    from log_anomaly_detector_spark.session import get_spark, quiesce
 
     spark = get_spark("oracle-check", master="local[16]")
     con = duck_connection(sf_dir)
@@ -27,12 +30,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
             continue
         t0 = time.time()
         try:
-            problems = compare_one(spark, con, name, fn, oracles.get(name), sf_dir)
+            problems, n = compare_one_counted(
+                spark, con, name, fn, oracles.get(name), sf_dir
+            )
         except Exception as ex:
             fails.append(name)
             print(f"FAIL {name}: error: {ex}")
             continue
-        n = fn(spark, sf_dir).count()
         tag = "PASS" if name in oracles else "ok  "
         if problems:
             fails.append(name)
@@ -43,6 +47,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
             if n == 0:
                 print(f"     WARNING {name}: 0 rows")
     print(f"\n{len(fails)} failures: {fails}")
+    quiesce(spark)
     spark.stop()
     return 1 if fails else 0
 

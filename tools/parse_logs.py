@@ -47,7 +47,7 @@ def main() -> int:
     args = ap.parse_args()
 
     from log_anomaly_detector_spark.pipeline import run_induction_pipeline
-    from log_anomaly_detector_spark.session import get_spark
+    from log_anomaly_detector_spark.session import get_spark, quiesce
 
     spark = get_spark("parse_logs", master=args.master)
     warm = (
@@ -89,6 +89,7 @@ def main() -> int:
             }
         )
     )
+    quiesce(spark)
     spark.stop()
     return 0
 
