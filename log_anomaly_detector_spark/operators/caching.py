@@ -39,6 +39,16 @@ def tracked_persist(
     prev = _LIVE.pop(key, None)
     if prev is not None:
         try:
+            if prev.sameSemantics(df):
+                # identical canonicalized plan (sameSemantics is exact, not a
+                # hash) — hand back the already-warm handle instead of paying
+                # a rebuild; queries that compose other queries (e.g. cluster
+                # resolution re-deriving the jaccard pair plan) hit this
+                _LIVE[key] = prev
+                return prev
+        except Exception:  # session gone / plan not comparable — replace
+            pass
+        try:
             prev.unpersist(blocking=False)
         except Exception:  # session gone — nothing to release
             pass

@@ -43,44 +43,63 @@ def connected_components(
     max_rounds: int = 20,
 ) -> DataFrame:
     """(node, component_id) for every node in ``pairs``; component_id = the
-    minimum node id reachable from it. Raises after ``max_rounds`` non-
-    converged rounds (a duplicate graph with diameter > 20 means the pair
-    generator is linking non-duplicates — fail loudly, don't spin)."""
-    edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    minimum node id reachable from it.
+
+    ONE Spark action per round: each node's OLD label rides through the
+    grouped min as a second aggregate (own rows are tagged, and a node owns
+    exactly one label row), so the changed-count comes out of the same
+    aggregation instead of a separate join-and-count job, and the per-round
+    checkpoint is LAZY — the convergence-probe aggregate materializes it.
+
+    ``max_rounds`` bounds TOTAL rounds, including the final quiet round that
+    observes changed==0 — a component of diameter D needs up to D propagation
+    rounds plus that confirmation, so the deepest resolvable diameter is
+    ``max_rounds - 1``. Exceeding it raises (a duplicate graph with diameter
+    ≥ 20 means the pair generator is linking non-duplicates — fail loudly,
+    don't spin)."""
+    # the symmetrizing union reads ``pairs`` twice — without a persist that
+    # is two full executions of the (expensive) pair-generation plan inside
+    # the edge checkpoint; cache it for the one action that builds edges,
+    # then drop it (rounds only ever touch the checkpointed edge table)
+    pairs_c = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist()
     edges = (
-        edges.unionByName(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        pairs_c.unionByName(
+            pairs_c.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint()  # eager: materializes here so pairs_c can release
     )
-    labels = (
-        edges.select(F.col("s").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+    pairs_c.unpersist(blocking=False)
+    labels = edges.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
     )
     for _ in range(max_rounds):
         nbr = edges.join(
-            labels.withColumnRenamed("node", "d"), "d"
-        ).select(F.col("s").alias("node"), "label")
+            labels.withColumnRenamed("node", "d").select("d", "label"), "d"
+        ).select(F.col("s").alias("node"), "label", F.lit(False).alias("_own"))
         new_labels = (
-            labels.unionByName(nbr)
+            labels.select("node", "label", F.lit(True).alias("_own"))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()  # truncate lineage: flat plan every round
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"),
+            )
+            # truncate lineage (flat plan every round); lazy — the changed
+            # aggregate below is the round's single materializing action
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(
+            F.sum((F.col("label") != F.col("_old")).cast("int")).alias("n")
+        ).collect()[0]["n"]
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component_id"))
     raise ValueError(
         f"connected_components did not converge within max_rounds={max_rounds} "
-        "rounds — the pair graph has a longer diameter than any plausible "
-        "duplicate cluster; check the pair generator's threshold."
+        f"rounds (diameter cap {max_rounds - 1} plus one confirmation round) — "
+        "the pair graph has a longer diameter than any plausible duplicate "
+        "cluster; check the pair generator's threshold."
     )
 
 

@@ -210,7 +210,13 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's) plus ``hll_within_3rsd`` = |HLL−exact|/exact ≤ 3·rsd, which the
     oracle pins to TRUE — an out-of-band sketch flips the boolean and fails
     the value hash. The PORTABLE sketch with a bit-exact oracle is
-    q_kmv_distinct."""
+    q_kmv_distinct.
+
+    CONTRACT-ONLY COST: the exact ``countDistinct`` here exists purely as the
+    check's yardstick. The ENGINE's R3 stats path uses only
+    ``approx_count_distinct`` (rules/column_stats.py) — never the exact side
+    (asserted by tests/test_rules.py::test_stats_plan_has_no_exact_distinct),
+    so a 100 TB validation run never pays an exact-distinct shuffle."""
     agg = (
         t(spark, sf_dir, "events")
         .groupBy("event_type")

@@ -163,6 +163,8 @@ def _bucket_udf(dim: int, n_tables: int, planes: int):
 
     @F.pandas_udf("array<long>")
     def buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # np.stack raises on empty — guard the batch shape
+            return pd.Series([], dtype=object)
         mat = np.stack(vs.to_numpy())  # batch × dim
         vq = np.floor(mat * 1e6).astype(np.int64)
         bits = (vq @ signs > 0).reshape(-1, n_tables, planes)

@@ -204,8 +204,14 @@ def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard_sets",
         docs.select("doc_id", shingles(F.col("text")).alias("shs")),
     )
-    toks = sets_.select(
-        "doc_id", F.size("shs").alias("sz"), F.explode("shs").alias("sh")
+    # the exploded token table is read TWICE (the df count below and the
+    # prefix join back onto it) — persist it too, or the shingle explosion
+    # runs once per consumer
+    toks = tracked_persist(
+        "jaccard_toks",
+        sets_.select(
+            "doc_id", F.size("shs").alias("sz"), F.explode("shs").alias("sh")
+        ),
     )
     # corpus document frequency per shingle — one grouped count; the join
     # back is shingle-keyed (AQE broadcasts it while it is small)

@@ -80,6 +80,7 @@ def forced_raw_broadcasts(df: DataFrame, relation_col: str) -> int:
             i += 1
         return i
 
+    bounding = ("Filter", "Join", "Aggregate", "Limit")
     n = 0
     for idx, ln in enumerate(lines):
         if "ResolvedHint" not in ln:
@@ -90,13 +91,29 @@ def forced_raw_broadcasts(df: DataFrame, relation_col: str) -> int:
             if _depth(nxt) <= d and nxt.strip():
                 break
             sub.append(nxt)
-        touches = any(
-            f"{relation_col}#" in s and "Relation" in s for s in sub
-        )
-        bounded = any(
-            k in s for s in sub for k in ("Filter", "Join", "Aggregate", "Limit")
-        )
-        if touches and not bounded:
+        # a bounding node must sit ON THE PATH between the hint and the
+        # Relation that owns relation_col (an ancestor in the indented tree:
+        # the chain of closest preceding lines with strictly smaller depth) —
+        # a Filter/Join elsewhere in the subtree bounds some OTHER branch and
+        # must not launder a raw-corpus broadcast past the audit
+        raw_path = False
+        for j, s in enumerate(sub):
+            if f"{relation_col}#" not in s or "Relation" not in s:
+                continue
+            bounded = False
+            cur = _depth(s)
+            for anc in reversed(sub[:j]):
+                if not anc.strip():
+                    continue
+                ad = _depth(anc)
+                if ad < cur:
+                    cur = ad
+                    if any(k in anc for k in bounding):
+                        bounded = True
+                        break
+            if not bounded:
+                raw_path = True
+        if raw_path:
             n += 1
     return n
 

@@ -149,6 +149,18 @@ def test_forced_raw_broadcast_detector_catches_bad_plan(spark):
         "id_a",
     )
     assert forced_raw_broadcasts(good, "embedding") == 0
+    # laundering shape: a Filter on a SIBLING branch of the hinted subtree
+    # must not bound the RAW branch — the bounding node has to sit on the
+    # path between the hint and the relation itself
+    laundered = pairs.join(
+        F.broadcast(
+            emb.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("id_a"), "label")
+            .unionByName(emb.select(F.col("vec_id").alias("id_a"), "label"))
+        ),
+        "id_a",
+    )
+    assert forced_raw_broadcasts(laundered, "embedding") == 1
 
 
 def test_jaccard_hot_shingle_pair_found(spark, tmp_path):

@@ -163,6 +163,23 @@ def test_null_tokens_row_rule_and_stats_pruning(spark):
     assert read_schema and "tokens" not in read_schema[0], read_schema
 
 
+def test_stats_plan_has_no_exact_distinct(spark):
+    """The engine's R3 distinct estimate is HLL-only: the stats plan must
+    carry approx_count_distinct and never an exact count(distinct ...) — the
+    exact side exists solely inside the hll_distinct CONTRACT query as the
+    oracle's yardstick (operators/relational.py q_hll_distinct docstring).
+    An exact distinct is a full shuffle of the key universe at 100 TB."""
+    from log_anomaly_detector_spark.plans import formatted_plan
+    from log_anomaly_detector_spark.rules.column_stats import stats_pass
+
+    df = spark.createDataFrame(
+        [("a", [1], 1, "ok", 0), ("b", [1], 1, "ok", 0)], SEQ_SCHEMA
+    )
+    plan = formatted_plan(stats_pass(df, CFG, ["ok"]))
+    assert "approx_count_distinct" in plan, plan
+    assert "count(distinct" not in plan.lower(), plan
+
+
 def test_uniqueness_ignores_null_doc_ids(spark):
     """Two NULL doc_ids are NOT duplicates of each other (they are R1
     null-rate violations) — pinned semantics matching the golden impl."""

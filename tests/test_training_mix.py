@@ -34,6 +34,31 @@ def test_pack_layout_invariants(spark):
             cum += r["n_tok"]
 
 
+def test_pack_parallelism_sized_buckets(spark):
+    """The documented layout-parameter story, executably: packing with
+    n_buckets = the cluster's parallelism keeps every window PARTITIONED
+    (per-bucket, never the warn-worthy global shape) and actually spreads
+    work across that many independent packing streams — the config a real
+    deployment would run, not just the 8-bucket contract pin."""
+    from pyspark.sql import functions as F
+
+    from log_anomaly_detector_spark.operators.relational import t
+    from log_anomaly_detector_spark.operators.training_mix import pack_documents
+    from log_anomaly_detector_spark.plans import unpartitioned_windows
+
+    par = spark.sparkContext.defaultParallelism
+    packed = pack_documents(t(spark, SF, "documents"), n_buckets=par)
+    assert unpartitioned_windows(packed) == 0
+    buckets = packed.agg(
+        F.countDistinct("pack_bucket").alias("n"),
+        F.max("pack_bucket").alias("mx"),
+        F.min("pack_bucket").alias("mn"),
+    ).collect()[0]
+    # 500 docs over `par` md5 buckets: every bucket occupied w.h.p., ids in range
+    assert buckets["n"] == par, (buckets, par)
+    assert 0 <= buckets["mn"] and buckets["mx"] < par
+
+
 def test_source_mix_rates(spark):
     got = {r["lang"]: r for r in q_source_mix(spark, SF).collect()}
     for lang, r in got.items():

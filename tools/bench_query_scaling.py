@@ -51,26 +51,33 @@ def loadavg() -> float:
 
 
 def run_once(data_dir: str, cores: int, queries: list[str]) -> dict:
-    out_path = tempfile.mktemp(prefix="qscale_")
+    fd, out_path = tempfile.mkstemp(prefix="qscale_")
+    os.close(fd)
     load_before = loadavg()
     code = _WORKER.format(
         root=ROOT, cores=cores, queries=queries, data_dir=data_dir,
         out_path=out_path,
     )
-    r = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-    )
-    if r.returncode != 0:
-        # surface the child JVM's actual failure — a bare CalledProcessError
-        # would discard the Spark traceback a multi-hour run died with
-        sys.stderr.write(r.stderr[-4000:])
-        raise RuntimeError(
-            f"scaling worker (local[{cores}]) exited {r.returncode}; "
-            "stderr tail above"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
         )
-    with open(out_path) as f:
-        walls = json.load(f)
-    os.unlink(out_path)
+        if r.returncode != 0:
+            # surface the child JVM's actual failure — a bare
+            # CalledProcessError would discard the Spark traceback a
+            # multi-hour run died with
+            sys.stderr.write(r.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling worker (local[{cores}]) exited {r.returncode}; "
+                "stderr tail above"
+            )
+        with open(out_path) as f:
+            walls = json.load(f)
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
     return {"cores": cores, "walls": walls, "host_load_before": load_before}
 
 
