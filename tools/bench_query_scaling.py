@@ -144,6 +144,10 @@ def main() -> int:
     merged[args.run_name] = results
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=2)
+    try:  # checkpoint served its purpose — the merged run is durable now
+        os.unlink(partial_path)
+    except OSError:
+        pass
     print("wrote BENCH/scaling.json")
     return 0
 
