@@ -554,19 +554,24 @@ def build_ivf(
     # Sums are over QUANTIZED floor(x·1e6) integers: order-free, so the
     # centroids (and therefore the whole index) are bit-identical at any
     # parallelism and across engines — IVF becomes oracle-checkable.
-    sums = a0.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.floor(F.element_at("v", i + 1) * 1e6).cast("long")).alias(
-                f"s{i}"
-            )
-            for i in range(dim)
-        ],
+    # Shape: posexplode → narrow (cid, i) agg (the oracle's own
+    # generate_subscripts form). The previous dim-wide column-per-component
+    # aggregate produced identical values but a 64-column codegen unit whose
+    # PLANNING cost (~2-4 s) dwarfed the fixture's execution; the exploded
+    # agg still combines map-side, so the shuffle stays K×dim either way.
+    pos = a0.select("cid", F.posexplode("v").alias("i", "x"))
+    sums = pos.groupBy("cid", "i").agg(
+        F.sum(F.floor(F.col("x") * 1e6).cast("long")).alias("s")
     )
-    c1_rows = {r["cid"]: r for r in sums.collect()}
+    cnt = a0.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    comp: dict[int, dict[int, int]] = {}
+    n_by_cid: dict[int, int] = {}
+    for r in sums.join(cnt, "cid").collect():  # K×dim rows, one action
+        comp.setdefault(r["cid"], {})[r["i"]] = r["s"]
+        n_by_cid[r["cid"]] = r["n"]
     c1 = [
-        [c1_rows[c][f"s{i}"] / 1e6 / c1_rows[c]["n"] for i in range(dim)]
-        if c in c1_rows
+        [comp[c][i] / 1e6 / n_by_cid[c] for i in range(dim)]
+        if c in comp
         else c0[c]
         for c in range(N_CENTROIDS)
     ]
