@@ -89,8 +89,12 @@ def connected_components(
             # aggregate below is the round's single materializing action
             .localCheckpoint(eager=False)
         )
+        # coalesce: sum over ZERO rows is NULL — an empty pair graph must
+        # read as converged (0 changes), not spin to the round cap
         changed = new_labels.agg(
-            F.sum((F.col("label") != F.col("_old")).cast("int")).alias("n")
+            F.coalesce(
+                F.sum((F.col("label") != F.col("_old")).cast("int")), F.lit(0)
+            ).alias("n")
         ).collect()[0]["n"]
         labels = new_labels.select("node", "label")
         if changed == 0:

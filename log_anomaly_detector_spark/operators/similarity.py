@@ -185,10 +185,20 @@ def _lsh_buckets(
     )
 
 
-def _emb_dim(emb: DataFrame) -> int:
+def _emb_dim(emb: DataFrame) -> int | None:
     # schema-level when available; otherwise one 1-row probe (driver-side,
-    # once per query build — never per row)
-    return emb.select(F.size("v").alias("d")).first()["d"]
+    # once per query build — never per row). Returns None on an EMPTY
+    # table: at scale an empty corpus slice is a legitimate input (a filter
+    # that matched nothing), so dim-probing queries short-circuit to an
+    # empty, correctly-typed result instead of a driver TypeError.
+    row = emb.select(F.size("v").alias("d")).first()
+    return None if row is None else row["d"]
+
+
+# contract output schema of the top-k ANN queries / the near-dup pair query —
+# the empty-corpus short-circuit must return exactly these
+_TOPK_SCHEMA = "q_id bigint, c_id bigint, cosine double, rank int"
+_PAIRS_SCHEMA = "id_a bigint, id_b bigint, cosine double"
 
 
 _ANN_LSH_SQL = f"""
@@ -249,6 +259,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dim = _emb_dim(raw)
+    if dim is None:  # empty corpus → empty result, contract schema
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     # query rows come straight off the scan (the vec_id predicate pushes to
     # parquet); only the corpus-wide signature pass gets the parallelizing
     # repartition (single-split testdata)
@@ -384,6 +396,12 @@ def embedding_near_dup_pairs(
     fallback one-row probe would otherwise run the whole shuffle-map stage
     just to read a vector length."""
     dim = dim if dim is not None else _emb_dim(emb)
+    if dim is None:
+        raise ValueError(
+            "embedding_near_dup_pairs: empty embeddings input — pass the "
+            "known dim, or short-circuit empty corpora upstream (the "
+            "contract query does)"
+        )
     udf = _bucket_udf(dim, n_tables, planes)
     sigs = emb.select("vec_id", udf(F.col("v")).alias("sig"))
     if n_tables * planes <= 62:
@@ -484,8 +502,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelizes the signature kernel and the norm computation. The dim
     # probe reads ONE row off the raw scan (pre-repartition — probing the
     # shuffled side would run the whole shuffle-map stage for one row).
+    dim = _emb_dim(raw)
+    if dim is None:  # empty corpus → empty result, contract schema
+        return spark.createDataFrame([], _PAIRS_SCHEMA)
     emb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    return embedding_near_dup_pairs(emb, dim=_emb_dim(raw))
+    return embedding_near_dup_pairs(emb, dim=dim)
 
 
 _EMB_NEARDUP_SQL = f"""
@@ -549,6 +570,13 @@ def build_ivf(
     dim = dim if dim is not None else _emb_dim(emb)
     seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).orderBy("vec_id").collect()
     c0 = [list(r["v"]) for r in seeds]
+    if not c0:
+        raise ValueError(
+            "build_ivf: no seed rows (vec_id < N_CENTROIDS) — the corpus is "
+            "empty or its ids don't start at 0; an IVF index needs seed "
+            "centroids (contract queries short-circuit empty corpora before "
+            "this point)"
+        )
     a0 = _assign(emb, c0)
     # one Lloyd step: per-dim mean of each cluster — K×dim tiny partial aggs.
     # Sums are over QUANTIZED floor(x·1e6) integers: order-free, so the
@@ -655,11 +683,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    dim = _emb_dim(raw)
+    if dim is None:  # empty corpus → empty result, contract schema
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     # single-split testdata: the per-row K×dim argmax (a heavy HOF — kept
     # JVM-side because its float ops must mirror the SQL oracle's) otherwise
     # runs in ONE task; the dim probe reads one row off the raw scan
     emb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    cents, index = build_ivf(emb, dim=_emb_dim(raw))
+    cents, index = build_ivf(emb, dim=dim)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
