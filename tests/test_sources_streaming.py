@@ -111,6 +111,61 @@ def test_windowed_streaming_counts(spark, tmp_path):
     assert res.agg(F.sum("n")).first()[0] == 1000  # all events counted
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Ingest dedup: byte-copies AND whitespace/case variants are admitted
+    once, across micro-batch boundaries, with fingerprint-keyed bounded
+    state; a resumed run (same checkpoint) still drops duplicates of
+    previously-admitted documents."""
+    import datetime as dt
+
+    from log_anomaly_detector_spark.streaming.dedup_stream import (
+        run_dedup_stream_once,
+    )
+
+    in_dir = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def land(name, rows):
+        # file streams don't recurse — each batch lands as new part files
+        # appended to the one watched directory
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    land(
+        "batch1",
+        [
+            (1, t0, "the quick brown fox"),
+            (2, t0, "jumped over the dog"),
+            (3, t0, "the quick brown fox"),        # in-batch byte copy
+            (4, t0, "  The   QUICK brown fox  "),  # normalized variant
+        ],
+    )
+    res1 = run_dedup_stream_once(spark, str(in_dir), ckpt, out)
+    admitted1 = sorted(r["doc_id"] for r in res1.collect())
+    assert len(admitted1) == 2  # one fox, one dog
+    assert 2 in admitted1
+
+    # second run, same checkpoint: a cross-RUN duplicate within the
+    # watermark is dropped; a genuinely new doc is admitted
+    land(
+        "batch2",
+        [
+            (5, t0 + dt.timedelta(minutes=5), "the quick brown fox"),
+            (6, t0 + dt.timedelta(minutes=5), "a genuinely new document"),
+        ],
+    )
+    res2 = run_dedup_stream_once(spark, str(in_dir), ckpt, out)
+    admitted2 = sorted(r["doc_id"] for r in res2.collect())  # cumulative sink
+    assert 6 in admitted2 and 5 not in admitted2
+    assert len(admitted2) == 3  # run-1's two + the one new doc
+    # every admitted row carries the md5 fingerprint (joinable to the batch
+    # exact-dup sweep)
+    assert all(len(r["fp"]) == 32 for r in res2.collect())
+
+
 def test_stateful_streaming_accumulates_across_batches(spark, tmp_path):
     """applyInPandasWithState: state persists across micro-batches — feeding
     the same docs in two batches doubles the accumulated counts."""
