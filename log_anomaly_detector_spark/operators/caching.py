@@ -39,7 +39,7 @@ def tracked_persist(
     prev = _LIVE.pop(key, None)
     if prev is not None:
         try:
-            if prev.sameSemantics(df):
+            if prev.storageLevel == level and prev.sameSemantics(df):
                 # identical canonicalized plan (sameSemantics is exact, not a
                 # hash) — hand back the already-warm handle instead of paying
                 # a rebuild; queries that compose other queries (e.g. cluster

@@ -187,11 +187,13 @@ def _lsh_buckets(
 
 def _emb_dim(emb: DataFrame) -> int | None:
     # schema-level when available; otherwise one 1-row probe (driver-side,
-    # once per query build — never per row). Returns None on an EMPTY
-    # table: at scale an empty corpus slice is a legitimate input (a filter
-    # that matched nothing), so dim-probing queries short-circuit to an
-    # empty, correctly-typed result instead of a driver TypeError.
-    row = emb.select(F.size("v").alias("d")).first()
+    # once per query build — never per row). Returns None when NO non-null
+    # vector exists: at scale an empty corpus slice is a legitimate input
+    # (a filter that matched nothing), so dim-probing queries short-circuit
+    # to an empty, correctly-typed result instead of a driver TypeError.
+    # The isNotNull filter matters: probing the RAW first row would read a
+    # NULL vector as d=None and silently empty a non-empty corpus.
+    row = emb.filter(F.col("v").isNotNull()).select(F.size("v").alias("d")).first()
     return None if row is None else row["d"]
 
 
@@ -587,14 +589,18 @@ def build_ivf(
     # aggregate produced identical values but a 64-column codegen unit whose
     # PLANNING cost (~2-4 s) dwarfed the fixture's execution; the exploded
     # agg still combines map-side, so the shuffle stays K×dim either way.
+    # the per-(cid, i) row count IS the cluster size (every member contributes
+    # exactly one entry per component) — folding it into the same aggregate
+    # avoids a second full pass of the heavy assignment kernel that a
+    # separate groupBy(cid).count() would trigger (no common-subplan reuse)
     pos = a0.select("cid", F.posexplode("v").alias("i", "x"))
     sums = pos.groupBy("cid", "i").agg(
-        F.sum(F.floor(F.col("x") * 1e6).cast("long")).alias("s")
+        F.sum(F.floor(F.col("x") * 1e6).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
     )
-    cnt = a0.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
     comp: dict[int, dict[int, int]] = {}
     n_by_cid: dict[int, int] = {}
-    for r in sums.join(cnt, "cid").collect():  # K×dim rows, one action
+    for r in sums.collect():  # K×dim rows, one action
         comp.setdefault(r["cid"], {})[r["i"]] = r["s"]
         n_by_cid[r["cid"]] = r["n"]
     c1 = [

@@ -76,4 +76,13 @@ def run_dedup_stream_once(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(out_dir)
+    except AnalysisException:
+        # zero micro-batches ever fired (no input since the checkpoint began)
+        # — the sink holds no data files to infer a schema from; return an
+        # empty, correctly-typed result instead of surfacing the sink's
+        # internal state as an error
+        return spark.createDataFrame([], "doc_id long, ts timestamp, fp string")

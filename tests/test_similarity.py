@@ -120,3 +120,46 @@ def test_minhash_finds_jaccard_pairs(spark):
         assert len(truth & mh) / len(truth) >= 0.8
     else:
         pytest.skip("no planted near-dups at this sf")
+
+
+def test_emb_dim_skips_null_vectors(spark):
+    """A NULL embedding in the probe row must not read as 'empty corpus':
+    the dim probe skips null vectors (a raw first() would return d=None and
+    silently empty every dim-probing ANN query on a non-empty table)."""
+    from pyspark.sql import functions as F
+
+    from log_anomaly_detector_spark.operators.similarity import _emb_dim
+
+    df = spark.createDataFrame(
+        [(0, None), (1, [0.1, 0.2, 0.3, 0.4])],
+        "vec_id long, embedding array<double>",
+    ).select("vec_id", F.col("embedding").alias("v"))
+    assert _emb_dim(df.orderBy("vec_id")) == 4
+    # all-null table == no usable vectors == empty for the probe
+    nulls = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<double>"
+    ).select("vec_id", F.col("embedding").alias("v"))
+    assert _emb_dim(nulls) is None
+
+
+def test_tracked_persist_honors_storage_level(spark):
+    """The warm-reuse path must not silently keep a previously-requested
+    storage level when the caller asks for a different one."""
+    from pyspark.storagelevel import StorageLevel
+
+    from log_anomaly_detector_spark.operators.caching import (
+        release_all,
+        tracked_persist,
+    )
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    a = tracked_persist("_lvl_test", df)
+    b = tracked_persist("_lvl_test", spark.range(100).selectExpr("id", "id * 2 AS v"))
+    assert b is a  # same plan + same level — warm handle reused
+    c = tracked_persist(
+        "_lvl_test",
+        spark.range(100).selectExpr("id", "id * 2 AS v"),
+        level=StorageLevel.DISK_ONLY,
+    )
+    assert c is not a and c.storageLevel == StorageLevel.DISK_ONLY
+    release_all()

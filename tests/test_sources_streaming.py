@@ -166,6 +166,22 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert all(len(r["fp"]) == 32 for r in res2.collect())
 
 
+def test_streaming_dedup_zero_batch_drain(spark, tmp_path):
+    """A drain that fires no micro-batch (empty landing dir, nothing written
+    yet) returns an empty typed result, not PATH_NOT_FOUND on the sink."""
+    from log_anomaly_detector_spark.streaming.dedup_stream import (
+        run_dedup_stream_once,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    res = run_dedup_stream_once(
+        spark, str(in_dir), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == ["doc_id", "ts", "fp"]
+
+
 def test_stateful_streaming_accumulates_across_batches(spark, tmp_path):
     """applyInPandasWithState: state persists across micro-batches — feeding
     the same docs in two batches doubles the accumulated counts."""
