@@ -286,10 +286,17 @@ def induce_templates(
     remaining = lines
     rounds = 0
     while True:
-        m = _match(remaining, _dim_df(dim), st, depth)
-        unmatched = m.filter(F.col("template_id").isNull()).select(
-            "line_id", "tokens"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if not dim:
+            # empty dim (cold start): every line is unmatched BY DEFINITION —
+            # matching against nothing and persisting the filter result would
+            # copy the full table into the cache for zero information (at
+            # 16M lines that copy dominated the round's wall)
+            unmatched = remaining
+        else:
+            m = _match(remaining, _dim_df(dim), st, depth)
+            unmatched = m.filter(F.col("template_id").isNull()).select(
+                "line_id", "tokens"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         if rounds >= max_founding_rounds:
             bulk = _collect_capped(  # empty ⟺ already converged — no-op then
                 _bulk_founders(unmatched), len(dim), "bulk founders"
@@ -297,15 +304,17 @@ def induce_templates(
             dim = dim + [(r["template_id"], list(r["tokens"])) for r in bulk]
             if remaining is not lines:
                 remaining.unpersist()
-            unmatched.unpersist()
+            if unmatched is not lines:
+                unmatched.unpersist()
             break
         founders = _collect_capped(  # ≤ leaves rows; materializes unmatched
             _elect_founders(unmatched, depth), len(dim), "leaf founders"
         )
-        if remaining is not lines:
+        if remaining is not lines and remaining is not unmatched:
             remaining.unpersist()
         if not founders:
-            unmatched.unpersist()
+            if unmatched is not lines:
+                unmatched.unpersist()
             break
         dim = dim + [(r["template_id"], list(r["tokens"])) for r in founders]
         remaining = unmatched
