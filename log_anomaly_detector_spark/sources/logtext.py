@@ -3,8 +3,12 @@
 * S2 ``generate_logformat_regex``: compile a ``'<Date> <Time> <Pid> <Level>
   <Component>: <Content>'`` format string into a named-group regex
   (reference: ``logparser/Drain.py:536-551``) — driver-side helper.
-* S1 ``read_structured_logs``: ``spark.read.text`` + one ``regexp_extract``
-  per header (reference: row-by-row ``log_to_dataframe``,
+* S1 ``read_structured_logs``: ``spark.read.text`` + SINGLE-PASS header
+  extraction — one ``rlike`` + one group-packing ``regexp_replace`` + split
+  (per-group ``regexp_extract`` only as the exact row-wise fallback for
+  lines containing the pack separator); the naive per-header extract form
+  ran the backtracking format regex N+1 times per line and dominated the
+  16M-line scan wall (reference: row-by-row ``log_to_dataframe``,
   ``logparser/Drain.py:512-534``). Malformed lines are *surfaced* via
   ``_parsed`` instead of silently dropped (``Drain.py:526-529`` swallows
   them); callers filter. Adds the reference's derived columns: the
@@ -65,12 +69,42 @@ def structure_lines(
     raw = raw.withColumn(
         "value", F.regexp_replace(F.col("value"), r"[^\x00-\x7F]+", "<NASCII>")
     )
+    # SINGLE-PASS header extraction: one regexp_extract per header runs the
+    # backtracking format regex N+1 times per line — measured as the
+    # dominant scan cost at 16M lines. Instead: match once (rlike), pack all
+    # groups with the ASCII record separator (one regexp_replace), split.
+    # Lines that natively contain RS (never seen in logs — it's the control
+    # byte DESIGNED as a field separator) take the exact per-group slow path
+    # row-wise, so semantics are unchanged for every input.
+    RS = "\x1e"
+    parsed = F.col("value").rlike(pattern)
+    has_rs = F.col("value").contains(RS)
+    # materialized as a REAL column first: expressions inside `when` branches
+    # are excluded from codegen subexpression elimination, so inlining the
+    # pack into each header column would re-run the replace+split per header
+    # — exactly the N-pass cost this rewrite removes
+    packed = F.when(
+        parsed & ~has_rs,
+        F.split(
+            F.regexp_replace(
+                F.col("value"),
+                pattern,
+                RS.join(f"${i + 1}" for i in range(len(headers))),
+            ),
+            RS,
+            -1,
+        ),
+    )
+    staged = raw.select("LineId", "value", packed.alias("_packed"))
     cols = [
-        F.regexp_extract(F.col("value"), pattern, i + 1).alias(h)
+        F.when(F.col("_packed").isNotNull(), F.element_at("_packed", i + 1))
+        .when(parsed, F.regexp_extract(F.col("value"), pattern, i + 1))
+        .otherwise(F.lit(""))
+        .alias(h)
         for i, h in enumerate(headers)
     ]
-    df = raw.select("LineId", F.col("value"), *cols).withColumn(
-        "_parsed", F.col("value").rlike(pattern)
+    df = staged.select("LineId", F.col("value"), *cols).withColumn(
+        "_parsed", parsed
     )
     template = F.col("Content")
     for rex in content_rexes:

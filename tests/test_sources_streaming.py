@@ -55,6 +55,30 @@ def test_read_structured_logs(spark, tmp_path):
     assert df.filter("NOT _parsed").count() == 1
 
 
+def test_structure_lines_record_separator_slow_path(spark):
+    """A line containing the ASCII record separator (the byte the fast
+    single-pass packer uses internally) must still extract every header
+    exactly — it takes the per-group regexp_extract fallback row-wise."""
+    from pyspark.sql import functions as F
+
+    from log_anomaly_detector_spark.sources.logtext import structure_lines
+
+    rs = "\x1e"
+    raw = spark.createDataFrame(
+        [
+            (0, f"081109 203615 148 INFO comp.A: payload with{rs}rs byte"),
+            (1, "081109 203616 149 WARN comp.B: clean payload"),
+            (2, ""),  # empty trailing-group edge: Content = ''
+        ],
+        "LineId long, value string",
+    )
+    got = {r["LineId"]: r for r in structure_lines(raw).collect()}
+    assert got[0]["_parsed"] and got[0]["Content"] == f"payload with{rs}rs byte"
+    assert got[0]["Component"] == "comp.A"
+    assert got[1]["_parsed"] and got[1]["Content"] == "clean payload"
+    assert not got[2]["_parsed"] and got[2]["Content"] == ""
+
+
 def test_read_sequence_file(spark, tmp_path):
     p = tmp_path / "seq.txt"
     p.write_text("1 2 3\n10 20\n\n7\n")
