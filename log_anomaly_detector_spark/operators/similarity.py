@@ -51,8 +51,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on array<double> with a sequential fold — deterministic, oracle-safe.
     Acceptable at scale only because the query side is bounded (N_QUERIES);
     the full-corpus paths are q_ann_lsh / q_ann_ivf."""
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(F.col("v").isNotNull())  # NULL vectors have no cosine
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -257,8 +259,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-query top-k window, both candidate-sized. The heavy bucket
     projection runs ONCE over the corpus (queries bucket separately on the
     filtered rows)."""
-    raw = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    raw = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # NULL vectors cannot participate in any similarity math (cosine,
+        # signatures, centroids) — excluded here so neither the driver-side
+        # seed collect nor the Arrow kernels ever see None
+        .filter(F.col("v").isNotNull())
     )
     dim = _emb_dim(raw)
     if dim is None:  # empty corpus → empty result, contract schema
@@ -497,8 +504,13 @@ def embedding_near_dup_pairs(
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    raw = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # NULL vectors cannot participate in any similarity math (cosine,
+        # signatures, centroids) — excluded here so neither the driver-side
+        # seed collect nor the Arrow kernels ever see None
+        .filter(F.col("v").isNotNull())
     )
     # testdata parquet arrives as ONE split; the cheap id repartition
     # parallelizes the signature kernel and the norm computation. The dim
@@ -570,7 +582,11 @@ def build_ivf(
     Pass ``dim`` when ``emb`` sits behind a shuffle (see
     embedding_near_dup_pairs)."""
     dim = dim if dim is not None else _emb_dim(emb)
-    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS).orderBy("vec_id").collect()
+    seeds = (
+        emb.filter((F.col("vec_id") < N_CENTROIDS) & F.col("v").isNotNull())
+        .orderBy("vec_id")
+        .collect()
+    )
     c0 = [list(r["v"]) for r in seeds]
     if not c0:
         raise ValueError(
@@ -603,11 +619,14 @@ def build_ivf(
     for r in sums.collect():  # K×dim rows, one action
         comp.setdefault(r["cid"], {})[r["i"]] = r["s"]
         n_by_cid[r["cid"]] = r["n"]
+    # cid is an INDEX into c0 (argmax position), so the centroid count is
+    # len(c0) — a corpus with fewer than N_CENTROIDS seed rows (sparse ids,
+    # null vectors among the seeds) simply trains a smaller quantizer
     c1 = [
         [comp[c][i] / 1e6 / n_by_cid[c] for i in range(dim)]
         if c in comp
         else c0[c]
-        for c in range(N_CENTROIDS)
+        for c in range(len(c0))
     ]
     return c1, _assign(emb, c1)
 
@@ -686,8 +705,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     within those lists only. Approximate vs brute force (recall gated in
     tests) but fully DETERMINISTIC (seeded centroids, integer-quantized Lloyd
     sums) — the query is DuckDB-oracle-verified end to end."""
-    raw = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    raw = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # NULL vectors cannot participate in any similarity math (cosine,
+        # signatures, centroids) — excluded here so neither the driver-side
+        # seed collect nor the Arrow kernels ever see None
+        .filter(F.col("v").isNotNull())
     )
     dim = _emb_dim(raw)
     if dim is None:  # empty corpus → empty result, contract schema

@@ -69,6 +69,14 @@ def structure_lines(
     raw = raw.withColumn(
         "value", F.regexp_replace(F.col("value"), r"[^\x00-\x7F]+", "<NASCII>")
     )
+    # strip trailing line terminators (streaming callers can deliver CRLF
+    # payloads; read.text never does): Java's `$` matches BEFORE a final
+    # '\r', so the packing replace below would otherwise leave the '\r'
+    # appended to the last field — where a per-group regexp_extract excludes
+    # it. Stripping first keeps the two forms exactly equivalent.
+    raw = raw.withColumn(
+        "value", F.regexp_replace(F.col("value"), r"[\r\n]+$", "")
+    )
     # SINGLE-PASS header extraction: one regexp_extract per header runs the
     # backtracking format regex N+1 times per line — measured as the
     # dominant scan cost at 16M lines. Instead: match once (rlike), pack all
@@ -95,17 +103,19 @@ def structure_lines(
             -1,
         ),
     )
-    staged = raw.select("LineId", "value", packed.alias("_packed"))
+    # `_parsed` is also materialized here: referencing the rlike expression
+    # again downstream would run the backtracking regex a third time per line
+    staged = raw.select(
+        "LineId", "value", packed.alias("_packed"), parsed.alias("_parsed")
+    )
     cols = [
         F.when(F.col("_packed").isNotNull(), F.element_at("_packed", i + 1))
-        .when(parsed, F.regexp_extract(F.col("value"), pattern, i + 1))
+        .when(F.col("_parsed"), F.regexp_extract(F.col("value"), pattern, i + 1))
         .otherwise(F.lit(""))
         .alias(h)
         for i, h in enumerate(headers)
     ]
-    df = staged.select("LineId", F.col("value"), *cols).withColumn(
-        "_parsed", parsed
-    )
+    df = staged.select("LineId", F.col("value"), *cols, "_parsed")
     template = F.col("Content")
     for rex in content_rexes:
         template = F.regexp_replace(template, rex, "<*>")

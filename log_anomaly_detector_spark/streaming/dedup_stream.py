@@ -80,9 +80,24 @@ def run_dedup_stream_once(
 
     try:
         return spark.read.parquet(out_dir)
-    except AnalysisException:
+    except AnalysisException as ex:
         # zero micro-batches ever fired (no input since the checkpoint began)
         # — the sink holds no data files to infer a schema from; return an
         # empty, correctly-typed result instead of surfacing the sink's
-        # internal state as an error
+        # internal state as an error. Any OTHER analysis failure (corrupt /
+        # foreign files in out_dir) must surface, not read as "no documents".
+        # the metadata-only sink dir raises _LEGACY_ERROR_TEMP_1134 with this
+        # message on this Spark build; match both the structured conditions
+        # and the legacy message so only the no-data cases read as empty
+        cond = (
+            ex.getCondition()
+            if hasattr(ex, "getCondition")  # 4.0+; getErrorClass deprecated
+            else ex.getErrorClass()
+        )
+        benign = cond in (
+            "UNABLE_TO_INFER_SCHEMA",
+            "PATH_NOT_FOUND",
+        ) or "Unable to infer schema" in str(ex)
+        if not benign:
+            raise
         return spark.createDataFrame([], "doc_id long, ts timestamp, fp string")

@@ -163,3 +163,35 @@ def test_tracked_persist_honors_storage_level(spark):
     )
     assert c is not a and c.storageLevel == StorageLevel.DISK_ONLY
     release_all()
+
+
+def test_ann_queries_tolerate_null_vectors(spark, tmp_path):
+    """A corpus containing NULL embedding rows (even among the IVF seed ids)
+    must not crash any ANN query — null vectors have no similarity and are
+    excluded; the remaining corpus is processed normally."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        q_ann_ivf,
+        q_ann_lsh,
+        q_cosine_topk,
+        q_embedding_near_dup,
+    )
+
+    rows = []
+    for i in range(60):
+        if i in (3, 7, 40):  # nulls, two inside the seed range
+            rows.append((i, None, 0))
+        else:
+            # 0.1 floor keeps every vector's norm strictly positive (a zero
+            # vector has no cosine and would ANSI-divide-by-zero)
+            vec = [0.1 + float(np.cos(i * (j + 1)) % 0.9) for j in range(8)]
+            rows.append((i, vec, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    for q in (q_ann_lsh, q_ann_ivf, q_cosine_topk, q_embedding_near_dup):
+        out = q(spark, str(tmp_path)).collect()
+        ids = {r[0] for r in out} | {r[1] for r in out}
+        assert not ({3, 7, 40} & ids), (q.__name__, ids)

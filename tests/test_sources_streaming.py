@@ -151,7 +151,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     out = str(tmp_path / "out")
     t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
 
-    def land(name, rows):
+    def land(rows):
         # file streams don't recurse — each batch lands as new part files
         # appended to the one watched directory
         spark.createDataFrame(
@@ -159,7 +159,6 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         ).coalesce(1).write.mode("append").parquet(str(in_dir))
 
     land(
-        "batch1",
         [
             (1, t0, "the quick brown fox"),
             (2, t0, "jumped over the dog"),
@@ -175,7 +174,6 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # second run, same checkpoint: a cross-RUN duplicate within the
     # watermark is dropped; a genuinely new doc is admitted
     land(
-        "batch2",
         [
             (5, t0 + dt.timedelta(minutes=5), "the quick brown fox"),
             (6, t0 + dt.timedelta(minutes=5), "a genuinely new document"),
