@@ -71,7 +71,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COSINE_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          round(list_dot_product(q.v, c.v)
@@ -206,7 +206,7 @@ _PAIRS_SCHEMA = "id_a bigint, id_b bigint, cosine double"
 
 
 _ANN_LSH_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 planes AS (
   SELECT t.t AS tbl, k.k AS k, i.i AS i,
          CASE WHEN strpos('13579bdf',
@@ -524,7 +524,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_NEARDUP_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
@@ -636,7 +636,7 @@ _IVF_COS = (
     "* sqrt(list_dot_product({b}, {b})))"
 )
 _ANN_IVF_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS}),
 a0 AS (
   SELECT vec_id, v, cid FROM (

@@ -391,8 +391,15 @@ def induce_templates(
     if last_assign is not None and sorted(last_dim) == sorted(dim):
         # converged pass matched against this exact dim (same ids AND
         # tokens; order is irrelevant — matching ties break by template_id)
-        # — its cached assignment IS the final one; skip a match
-        final_assign = last_assign
+        # — its cached assignment IS the final one; skip a match. The lazy
+        # localCheckpoint transfers the result out of the globally-tracked
+        # 'induction_assign' cache slot: a SUBSEQUENT induce_templates call
+        # in the same session replaces that key, and without the transfer a
+        # caller who hadn't yet materialized this result would silently
+        # recompute the whole match (correct — _match is deterministic —
+        # but a perf trap; r4 ADVICE). The checkpoint stores the rows at
+        # the caller's first action, reading from the still-warm cache.
+        final_assign = last_assign.localCheckpoint(eager=False)
     else:
         final_assign = _match(lines, templates, st, depth)
     warm_strings = spark.createDataFrame(

@@ -76,28 +76,85 @@ def run_dedup_stream_once(
         .start()
     )
     q.awaitTermination()
+    import os
+
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(out_dir)
     except AnalysisException as ex:
-        # zero micro-batches ever fired (no input since the checkpoint began)
-        # — the sink holds no data files to infer a schema from; return an
-        # empty, correctly-typed result instead of surfacing the sink's
-        # internal state as an error. Any OTHER analysis failure (corrupt /
-        # foreign files in out_dir) must surface, not read as "no documents".
-        # the metadata-only sink dir raises _LEGACY_ERROR_TEMP_1134 with this
-        # message on this Spark build; match both the structured conditions
-        # and the legacy message so only the no-data cases read as empty
+        # zero micro-batches ever WROTE data (no input since the checkpoint
+        # began, or only empty batches) — the sink holds no data files to
+        # infer a schema from; return an empty, correctly-typed result
+        # instead of surfacing the sink's internal state as an error. Any
+        # OTHER analysis failure (corrupt / foreign files in out_dir) must
+        # surface, not read as "no documents". Structured conditions only —
+        # message-substring matching is brittle across Spark upgrades.
         cond = (
             ex.getCondition()
             if hasattr(ex, "getCondition")  # 4.0+; getErrorClass deprecated
             else ex.getErrorClass()
         )
-        benign = cond in (
-            "UNABLE_TO_INFER_SCHEMA",
+        # STRUCTURED empty-sink conditions only (no message-substring
+        # matching — brittle across Spark upgrades): PATH_NOT_FOUND (dir
+        # absent) or unable-to-infer (the sink dir holds `_spark_metadata`
+        # and no data files — created eagerly when the query starts; this
+        # build names it _LEGACY_ERROR_TEMP_1134, newer builds
+        # UNABLE_TO_INFER_SCHEMA). Anything else (corrupt / foreign files)
+        # must surface, not read as "no documents".
+        if cond not in (
             "PATH_NOT_FOUND",
-        ) or "Unable to infer schema" in str(ex)
-        if not benign:
+            "UNABLE_TO_INFER_SCHEMA",
+            "_LEGACY_ERROR_TEMP_1134",
+        ):
             raise
+        # An empty sink is benign ONLY while the checkpoint is fresh (no
+        # committed micro-batches). Any committed batch implies the TRUE
+        # sink dir holds data — the first-seen copy of every input row is
+        # always admitted — so "committed batches + empty sink here" means
+        # the caller resumed a warm checkpoint against a wrong / mismatched
+        # out_dir; returning empty would mask that as "no documents".
+        # (Local-path check: this drain helper targets local smoke runs;
+        # cluster deployments run an always-on query instead.)
+        commits_dir = os.path.join(checkpoint, "commits")
+        committed = (
+            [f for f in os.listdir(commits_dir) if not f.startswith(".")]
+            if os.path.isdir(commits_dir)
+            else []
+        )
+        if committed:
+            raise RuntimeError(
+                f"dedup stream checkpoint {checkpoint!r} has "
+                f"{len(committed)} committed batch(es) but sink dir "
+                f"{out_dir!r} holds no data — resumed with a mismatched "
+                "out_dir?"
+            ) from ex
         return spark.createDataFrame([], "doc_id long, ts timestamp, fp string")
+
+
+def sweep_sink_stragglers(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The periodic BATCH sweep the streaming dedup's docstring promises:
+    duplicates that arrive later than the watermark horizon are re-admitted
+    by design (bounded state), so a scheduled batch pass over the sink
+    groups by the stored fingerprint and returns every fingerprint admitted
+    more than once, with the earliest admission as the keeper — the exact
+    composition of `dropDuplicatesWithinWatermark` (bounded online state)
+    with `q_exact_dup_groups`-style hash→groupBy (unbounded offline sweep).
+    One shuffle on the 16-byte fp; document text never moves."""
+    from pyspark.sql import functions as F
+
+    sink = spark.read.parquet(out_dir)
+    return (
+        sink.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.min(F.struct("ts", "doc_id")).alias("_first"),
+        )
+        .filter(F.col("n_admitted") > 1)
+        .select(
+            "fp",
+            "n_admitted",
+            F.col("_first.doc_id").alias("keep_doc_id"),
+            F.col("_first.ts").alias("first_ts"),
+        )
+    )

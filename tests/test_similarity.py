@@ -195,3 +195,35 @@ def test_ann_queries_tolerate_null_vectors(spark, tmp_path):
         out = q(spark, str(tmp_path)).collect()
         ids = {r[0] for r in out} | {r[1] for r in out}
         assert not ({3, 7, 40} & ids), (q.__name__, ids)
+
+
+def test_similarity_oracle_parity_with_null_vectors(spark, tmp_path):
+    """Both engines must pin the SAME null-vector semantics: the oracle SQLs
+    carry `WHERE embedding IS NOT NULL` mirroring the Spark-side filter, so a
+    fixture WITH nulls still hash-matches (r4 ADVICE: parity previously held
+    only because the shipped fixtures had zero NULL embeddings)."""
+    import duckdb
+    import numpy as np
+
+    from log_anomaly_detector_spark.operators.similarity import ORACLES, QUERIES
+    from log_anomaly_detector_spark.oracle_check import compare_one
+
+    rows = []
+    for i in range(60):
+        if i in (3, 7, 40):
+            rows.append((i, None, 0))
+        else:
+            vec = [0.1 + float(np.cos(i * (j + 1)) % 0.9) for j in range(8)]
+            rows.append((i, vec, 0))
+    path = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY — DuckDB's view needs the part glob
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}/*.parquet'")
+    for name in ("cosine_topk", "embedding_near_dup", "ann_lsh", "ann_ivf"):
+        problems = compare_one(
+            spark, con, name, QUERIES[name], ORACLES[name], str(tmp_path)
+        )
+        assert problems == [], (name, problems)

@@ -204,6 +204,80 @@ def test_streaming_dedup_zero_batch_drain(spark, tmp_path):
     assert [f.name for f in res.schema.fields] == ["doc_id", "ts", "fp"]
 
 
+def test_streaming_dedup_warm_checkpoint_wrong_outdir_raises(spark, tmp_path):
+    """A WARM checkpoint (committed batches) whose sink dir is missing means
+    the caller resumed with a mismatched out_dir — that must raise, not read
+    as an empty corpus (r4 ADVICE: the blanket PATH_NOT_FOUND catch masked
+    the misconfiguration)."""
+    import datetime as dt
+
+    import pytest
+
+    from log_anomaly_detector_spark.streaming.dedup_stream import (
+        run_dedup_stream_once,
+    )
+
+    in_dir = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1, 12, 0, 0), "a document")],
+        "doc_id long, ts timestamp, text string",
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    res = run_dedup_stream_once(spark, str(in_dir), ckpt, str(tmp_path / "out"))
+    assert res.count() == 1
+    # resume the warm checkpoint against a NEVER-written sink path with no
+    # new input: zero batches fire, the wrong sink stays absent → error
+    with pytest.raises(RuntimeError, match="mismatched out_dir"):
+        run_dedup_stream_once(
+            spark, str(in_dir), ckpt, str(tmp_path / "elsewhere")
+        )
+
+
+def test_streaming_dedup_batch_sweep_catches_late_straggler(spark, tmp_path):
+    """The documented composition: a duplicate arriving LATER than the
+    watermark horizon is re-admitted by the stream (bounded-state trade),
+    and the periodic batch sweep over the sink catches it, keeping the
+    earliest admission."""
+    import datetime as dt
+
+    from log_anomaly_detector_spark.streaming.dedup_stream import (
+        run_dedup_stream_once,
+        sweep_sink_stragglers,
+    )
+
+    in_dir = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def land(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    # run 1: the original document (watermark horizon = 1 hour)
+    land([(1, t0, "the quick brown fox"), (2, t0, "some other doc")])
+    run_dedup_stream_once(spark, str(in_dir), ckpt, out)
+    # run 2: advance event time far past t0 + 1h so doc 1's dedup state
+    # EXPIRES at the end of this batch (watermark = max_ts - 1h = t0 + 2h)
+    land([(3, t0 + dt.timedelta(hours=3), "watermark advancer")])
+    run_dedup_stream_once(spark, str(in_dir), ckpt, out)
+    # run 3: the straggler duplicate — state expired, so the stream
+    # re-admits it (the documented trade for bounded state)
+    land([(4, t0 + dt.timedelta(hours=3, minutes=30), "the quick brown fox")])
+    res3 = run_dedup_stream_once(spark, str(in_dir), ckpt, out)
+    admitted = sorted(r["doc_id"] for r in res3.collect())
+    assert admitted == [1, 2, 3, 4], admitted  # straggler got through
+
+    # the batch sweep over the sink catches exactly the straggler pair and
+    # keeps the earliest admission
+    stragglers = sweep_sink_stragglers(spark, out).collect()
+    assert len(stragglers) == 1
+    s = stragglers[0]
+    assert s["n_admitted"] == 2 and s["keep_doc_id"] == 1
+    assert s["first_ts"] == t0
+
+
 def test_stateful_streaming_accumulates_across_batches(spark, tmp_path):
     """applyInPandasWithState: state persists across micro-batches — feeding
     the same docs in two batches doubles the accumulated counts."""
