@@ -411,6 +411,8 @@ def embedding_near_dup_pairs(
             "known dim, or short-circuit empty corpora upstream (the "
             "contract query does)"
         )
+    from log_anomaly_detector_spark.operators.caching import tracked_persist
+
     udf = _bucket_udf(dim, n_tables, planes)
     sigs = emb.select("vec_id", udf(F.col("v")).alias("sig"))
     if n_tables * planes <= 62:
@@ -425,8 +427,18 @@ def embedding_near_dup_pairs(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        skinny = sigs.select(
-            "vec_id", packed.alias("psig"), F.posexplode("sig").alias("tbl", "bucket")
+        # persist the exploded signature table: BOTH sides of the bucket
+        # self-join read it, so without the cache the Arrow signature
+        # kernel (and the corpus scan under it) runs twice per action —
+        # the r4 verdict's one remaining wall lever on this query. Narrow
+        # payload only (id + packed long + table + bucket), never vectors.
+        skinny = tracked_persist(
+            "embnd_skinny",
+            sigs.select(
+                "vec_id",
+                packed.alias("psig"),
+                F.posexplode("sig").alias("tbl", "bucket"),
+            ),
         )
         a = skinny.select(
             F.col("vec_id").alias("id_a"), F.col("psig").alias("psig_a"), "tbl", "bucket"
@@ -452,8 +464,12 @@ def embedding_near_dup_pairs(
         first_hit = y.bitwiseAND(below) == below
     else:
         # wide config: carry the bucket array, first match via zip_with walk
-        skinny = sigs.select(
-            "vec_id", "sig", F.posexplode("sig").alias("tbl", "bucket")
+        # (same double-read shape as the packed path → same persist)
+        skinny = tracked_persist(
+            "embnd_skinny",
+            sigs.select(
+                "vec_id", "sig", F.posexplode("sig").alias("tbl", "bucket")
+            ),
         )
         a = skinny.select(
             F.col("vec_id").alias("id_a"), F.col("sig").alias("sig_a"), "tbl", "bucket"
@@ -482,8 +498,12 @@ def embedding_near_dup_pairs(
     # Norms are computed ONCE per vector on the fetch side — dot/(na*nb)
     # evaluates the identical IEEE ops as the inline cosine, so the 6dp round
     # stays bit-exact vs the DuckDB oracle.
-    withn = emb.select(
-        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("n")
+    # the verify stage fetches vectors TWICE (id_a and id_b keyed joins) —
+    # persist the norms table so the corpus scan + norm reduction run once
+    # per action instead of twice (MEMORY_AND_DISK: spills, never OOMs)
+    withn = tracked_persist(
+        "embnd_norms",
+        emb.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("n")),
     )
     paired = pairs.join(
         withn.select(
