@@ -32,13 +32,25 @@ def empty_sf_dir(spark, tmp_path_factory):
     return str(d)
 
 
+# Exact expected row count on fully-empty input, per query. Today every
+# contract query — including the global aggregates and the config-sized
+# grids — produces ZERO rows from zero input (harvested by running the full
+# sweep; grids/thresholds are all derived from data, not emitted as
+# constants). A query that legitimately emits a bounded constant shape on
+# empty input must REGISTER it here with a comment naming the constant —
+# the loose `<= 100` proxy this replaces would have let ~90 junk rows
+# through as "bounded" (r4 verdict minor #4).
+EMPTY_EXPECTED: dict[str, int] = {name: 0 for name in QUERIES}
+
+
+def test_empty_expectation_map_covers_registry():
+    assert sorted(EMPTY_EXPECTED) == sorted(QUERIES)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_executes_on_empty_tables(spark, empty_sf_dir, name):
     df = QUERIES[name](spark, empty_sf_dir)
     rows = df.collect()
-    # empty in → empty (or schema-only constant) out; executing without a
-    # driver-side crash is the contract. A few aggregates legitimately emit
-    # bounded constant rows on empty input (e.g. the 9-row threshold grid,
-    # global-aggregate summaries) — bounded means dim/config-sized, never
-    # input-sized.
-    assert len(rows) <= 100, (name, len(rows))
+    # executing without a driver-side crash is the contract; the output
+    # shape is pinned exactly per query
+    assert len(rows) == EMPTY_EXPECTED[name], (name, len(rows))
