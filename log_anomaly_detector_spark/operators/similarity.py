@@ -543,6 +543,38 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, dim=dim)
 
 
+# production-regime parameterization: high threshold, enough planes per
+# table that a random pair collides with prob ~2^-12 — the regime the
+# embedding_near_dup_pairs docstring names for real near-dup dedup. NOT a
+# contract query (the oracle-verified contract fixture runs the low-τ
+# no-pruning regime); this is the shape per-query SCALING evidence runs,
+# because the contract parameters are quadratic-by-design on a large corpus
+# (τ=0.45 with 2 planes ⇒ 4 buckets/table ⇒ bucket self-joins explode) —
+# measuring those at 500k vectors would benchmark a misconfiguration.
+PROD_ND_THRESHOLD = 0.85
+PROD_ND_TABLES = 8
+PROD_ND_PLANES = 12
+
+
+def q_embedding_near_dup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    dim = _emb_dim(raw)
+    if dim is None:
+        return spark.createDataFrame([], _PAIRS_SCHEMA)
+    emb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=PROD_ND_THRESHOLD,
+        n_tables=PROD_ND_TABLES,
+        planes=PROD_ND_PLANES,
+        dim=dim,
+    )
+
+
 _EMB_NEARDUP_SQL = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

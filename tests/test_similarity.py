@@ -197,6 +197,35 @@ def test_ann_queries_tolerate_null_vectors(spark, tmp_path):
         assert not ({3, 7, 40} & ids), (q.__name__, ids)
 
 
+def test_embedding_near_dup_production_regime(spark, tmp_path):
+    """The production parameterization (τ=0.85, 12 planes × 8 tables) must
+    find every EXACT-duplicate pair (identical vectors collide in every
+    table — recall 1.0 by construction) and, via the exact verify stage,
+    emit nothing below the threshold. Random 64-dim vectors have pairwise
+    cosine ~N(0, 1/8)-ish, so τ=0.85 admits only the planted dups."""
+    import numpy as np
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        q_embedding_near_dup_production,
+    )
+
+    rng_rows = []
+    for i in range(200):
+        if i in (51, 103):  # planted exact duplicates of the previous id
+            rng_rows.append((i, rng_rows[i - 1][1], 0))
+        else:
+            vec = [float(np.sin(0.7 * i * (j + 3)) % 1.0) - 0.5 for j in range(64)]
+            rng_rows.append((i, vec, 0))
+    spark.createDataFrame(
+        rng_rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = q_embedding_near_dup_production(spark, str(tmp_path)).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert {(50, 51), (102, 103)} <= got, got
+    for r in out:
+        assert r["cosine"] >= 0.85
+
+
 def test_similarity_oracle_parity_with_null_vectors(spark, tmp_path):
     """Both engines must pin the SAME null-vector semantics: the oracle SQLs
     carry `WHERE embedding IS NOT NULL` mirroring the Spark-side filter, so a

@@ -31,8 +31,16 @@ import json, sys, time
 sys.path.insert(0, {root!r})
 from log_anomaly_detector_spark.session import get_spark
 from log_anomaly_detector_spark.operators import all_queries
+from log_anomaly_detector_spark.operators.similarity import (
+    q_embedding_near_dup_production,
+)
 spark = get_spark("qscale", master="local[{cores}]")
 qs = all_queries()
+# scaling-only shapes that are deliberately NOT contract queries (no
+# oracle key, so they must not widen the driver registry): the
+# production-regime near-dup parameterization — the contract fixture's
+# low-τ/2-plane regime is quadratic by design on a large corpus
+qs["embedding_near_dup_production"] = q_embedding_near_dup_production
 out = {{}}
 for name in {queries!r}:
     qs[name](spark, {data_dir!r}).write.format("noop").mode("overwrite").save()
