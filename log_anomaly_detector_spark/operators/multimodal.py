@@ -95,9 +95,17 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stub, but a DETERMINISTIC one — so the oracle below re-derives every
     output from the payload in SQL, verifying the Arrow plumbing (batch
     shape, schema, vectorized byte stats) end to end. A real codec would
-    return this query to a rows-only check."""
-    return binary_payloads(spark, sf_dir).mapInPandas(
-        extract_features, schema=FEATURE_SCHEMA
+    return this query to a rows-only check.
+
+    NULL payloads are excluded JVM-side BEFORE the Arrow stage (the same
+    semantics as NULL vectors in the similarity tier): a missing blob has
+    no bytes to featurize, and the kernel's ``np.frombuffer`` would throw
+    on None — caught by the null-payload sweep (tests/test_null_inputs.py).
+    The oracle SQL pins the identical filter."""
+    return (
+        binary_payloads(spark, sf_dir)
+        .filter(F.col("payload").isNotNull())
+        .mapInPandas(extract_features, schema=FEATURE_SCHEMA)
     )
 
 
@@ -113,6 +121,7 @@ SELECT doc_id,
        cast((octet_length(encode(text)) % 480) + 16 AS int) AS height,
        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS codec
 FROM documents
+WHERE text IS NOT NULL
 """
 
 

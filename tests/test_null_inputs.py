@@ -33,7 +33,63 @@ QUERIES = entry_mod.queries()
 # keep their input-sized counts (nulls ride along as NULL outputs or the
 # null-group); payload-DERIVED queries (shingles, signatures, vocab,
 # template induction) collapse to zero or to the null-group singleton.
-NULL_EXPECTED: dict[str, int] = {}  # filled below, one literal per query
+# Harvested by executing the full sweep; the first harvest caught a REAL
+# crash — mm_features' Arrow kernel np.frombuffer(None) on NULL payloads,
+# now excluded JVM-side before the Arrow stage (operators/multimodal.py).
+NULL_EXPECTED: dict[str, int] = {
+    "ann_ivf": 0,            # all vectors NULL → dim probe short-circuits
+    "ann_lsh": 0,
+    "anti_join": 1,          # the NULL customer-name group
+    "binary_meta": 500,      # JVM-side: NULL payload → NULL n_bytes/sha256
+    "broadcast_join_revenue": 1,
+    "column_stats": 1,
+    "cosine_topk": 0,
+    "dedup_clusters": 0,
+    "distinct_exact": 1,
+    "doc_fingerprint": 500,  # fingerprint(NULL) rides as NULL per doc
+    "drift_hist": 9,         # numeric-column histogram — unaffected by text
+    "embedding_mean": 0,     # posexplode(NULL) emits nothing
+    "embedding_near_dup": 0,
+    "exact_dup_groups": 1,   # every NULL prefix hashes to the one group
+    "filter_pack": 0,
+    "fixed_window_chunks": 0,
+    "group_collect_ordered": 15,
+    "hll_distinct": 1,
+    "inner_join_count": 1,
+    "jaccard_near_dup": 0,
+    "kmv_distinct": 0,
+    "langid": 500,
+    "left_join_default": 1,
+    "mask_tokens": 500,
+    "minhash_lsh_pairs": 0,
+    "mm_features": 0,        # NULL payloads excluded before the Arrow stage
+    "pack_sequences": 500,
+    "pagination": 100,
+    "param_extract": 1000,
+    "pricing_summary": 1,
+    "quality_score": 500,
+    "quantile_median": 1,
+    "ranked_mapping": 1,
+    "regex_hash_pack": 1000,
+    "seeded_sample": 149,    # hash of numeric keys — text plays no part
+    "seeded_split": 2,
+    "semi_join": 0,
+    "simhash": 0,
+    "sort_by_length": 50,
+    "source_mix": 1,
+    "spell_match": 500,
+    "stitch_lines": 1473,
+    "template_frequency": 1,
+    "template_induction": 0,  # no tokens → empty dim, typed empty result
+    "template_match": 500,
+    "threshold_grid": 9,
+    "threshold_verdict": 15,
+    "to_seq": 0,
+    "token_count": 500,
+    "topk_per_group": 449,
+    "union_dedup": 1,
+    "vocab_build": 0,
+}
 
 
 @pytest.fixture(scope="module")
