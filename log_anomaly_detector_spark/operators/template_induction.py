@@ -392,13 +392,18 @@ def induce_templates(
         # converged pass matched against this exact dim (same ids AND
         # tokens; order is irrelevant — matching ties break by template_id)
         # — its cached assignment IS the final one; skip a match. The lazy
-        # localCheckpoint transfers the result out of the globally-tracked
-        # 'induction_assign' cache slot: a SUBSEQUENT induce_templates call
-        # in the same session replaces that key, and without the transfer a
-        # caller who hadn't yet materialized this result would silently
-        # recompute the whole match (correct — _match is deterministic —
-        # but a perf trap; r4 ADVICE). The checkpoint stores the rows at
-        # the caller's first action, reading from the still-warm cache.
+        # localCheckpoint BOUNDS the r4-ADVICE perf trap: a SUBSEQUENT
+        # induce_templates call in the same session replaces the tracked
+        # 'induction_assign' slot, and without the checkpoint a caller who
+        # hadn't yet materialized this result would recompute the whole
+        # match on EVERY later action (correct — _match is deterministic —
+        # but unbounded). With it, the caller's first action pins the rows:
+        # from the still-warm cache when it runs before the next call (the
+        # normal path, zero extra cost), or via AT MOST ONE recompute when
+        # the next call won the race — never per-action. (An eager
+        # checkpoint would close even that one recompute, but would charge
+        # every normal caller a full extra materialization pass — the wrong
+        # trade for a line-count-sized table.)
         final_assign = last_assign.localCheckpoint(eager=False)
     else:
         final_assign = _match(lines, templates, st, depth)

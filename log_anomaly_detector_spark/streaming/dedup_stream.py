@@ -108,14 +108,17 @@ def run_dedup_stream_once(
             "_LEGACY_ERROR_TEMP_1134",
         ):
             raise
-        # An empty sink is benign ONLY while the checkpoint is fresh (no
-        # committed micro-batches). Any committed batch implies the TRUE
-        # sink dir holds data — the first-seen copy of every input row is
-        # always admitted — so "committed batches + empty sink here" means
-        # the caller resumed a warm checkpoint against a wrong / mismatched
-        # out_dir; returning empty would mask that as "no documents".
-        # (Local-path check: this drain helper targets local smoke runs;
-        # cluster deployments run an always-on query instead.)
+        # An empty-sink READ FAILURE is benign ONLY while the checkpoint is
+        # fresh (no committed micro-batches). Every committed batch — even a
+        # ZERO-ROW one — logs an entry in the true sink's `_spark_metadata`,
+        # and a sink with logged batches reads back with its typed schema
+        # (succeeds, never reaches this handler — pinned by
+        # test_streaming_dedup_zero_row_batch_reads_typed). So landing here
+        # with committed batches means THIS out_dir has never received an
+        # addBatch: the caller resumed a warm checkpoint against a wrong /
+        # mismatched out_dir, and returning empty would mask that as "no
+        # documents". (Local-path check: this drain helper targets local
+        # smoke runs; cluster deployments run an always-on query instead.)
         commits_dir = os.path.join(checkpoint, "commits")
         committed = (
             [f for f in os.listdir(commits_dir) if not f.startswith(".")]
@@ -132,6 +135,9 @@ def run_dedup_stream_once(
         return spark.createDataFrame([], "doc_id long, ts timestamp, fp string")
 
 
+_SWEEP_SCHEMA = "fp string, n_admitted long, keep_doc_id long, first_ts timestamp"
+
+
 def sweep_sink_stragglers(spark: SparkSession, out_dir: str) -> DataFrame:
     """The periodic BATCH sweep the streaming dedup's docstring promises:
     duplicates that arrive later than the watermark horizon are re-admitted
@@ -140,10 +146,32 @@ def sweep_sink_stragglers(spark: SparkSession, out_dir: str) -> DataFrame:
     more than once, with the earliest admission as the keeper — the exact
     composition of `dropDuplicatesWithinWatermark` (bounded online state)
     with `q_exact_dup_groups`-style hash→groupBy (unbounded offline sweep).
-    One shuffle on the 16-byte fp; document text never moves."""
+    One shuffle on the 16-byte fp; document text never moves.
+
+    A scheduled sweep can legitimately fire before the stream has written
+    anything (sink dir absent, or holding only the eagerly-created
+    `_spark_metadata`) — that returns an empty typed result, same structured
+    conditions as the drain helper; genuinely foreign read failures
+    surface."""
     from pyspark.sql import functions as F
 
-    sink = spark.read.parquet(out_dir)
+    from pyspark.errors import AnalysisException
+
+    try:
+        sink = spark.read.parquet(out_dir)
+    except AnalysisException as ex:
+        cond = (
+            ex.getCondition()
+            if hasattr(ex, "getCondition")
+            else ex.getErrorClass()
+        )
+        if cond in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+            "_LEGACY_ERROR_TEMP_1134",
+        ):
+            return spark.createDataFrame([], _SWEEP_SCHEMA)
+        raise
     return (
         sink.groupBy("fp")
         .agg(

@@ -32,15 +32,35 @@ def empty_sf_dir(spark, tmp_path_factory):
     return str(d)
 
 
-# Exact expected row count on fully-empty input, per query. Today every
-# contract query — including the global aggregates and the config-sized
-# grids — produces ZERO rows from zero input (harvested by running the full
-# sweep; grids/thresholds are all derived from data, not emitted as
-# constants). A query that legitimately emits a bounded constant shape on
-# empty input must REGISTER it here with a comment naming the constant —
-# the loose `<= 100` proxy this replaces would have let ~90 junk rows
+# Exact expected row count on fully-empty input, per query — a LITERAL map
+# (not derived from the registry), so adding a 53rd query fails the
+# coverage guard below until its empty-input shape is pinned here. Today
+# every contract query — including the global aggregates and the
+# config-sized grids — produces ZERO rows from zero input (harvested by
+# running the full sweep; grids/thresholds are all derived from data, not
+# emitted as constants). A query that legitimately emits a bounded constant
+# shape on empty input must register it with a comment naming the constant
+# — the loose `<= 100` proxy this replaces would have let ~90 junk rows
 # through as "bounded" (r4 verdict minor #4).
-EMPTY_EXPECTED: dict[str, int] = {name: 0 for name in QUERIES}
+EMPTY_EXPECTED: dict[str, int] = {
+    "ann_ivf": 0, "ann_lsh": 0, "anti_join": 0, "binary_meta": 0,
+    "broadcast_join_revenue": 0, "column_stats": 0, "cosine_topk": 0,
+    "dedup_clusters": 0, "distinct_exact": 0, "doc_fingerprint": 0,
+    "drift_hist": 0, "embedding_mean": 0, "embedding_near_dup": 0,
+    "exact_dup_groups": 0, "filter_pack": 0, "fixed_window_chunks": 0,
+    "group_collect_ordered": 0, "hll_distinct": 0, "inner_join_count": 0,
+    "jaccard_near_dup": 0, "kmv_distinct": 0, "langid": 0,
+    "left_join_default": 0, "mask_tokens": 0, "minhash_lsh_pairs": 0,
+    "mm_features": 0, "pack_sequences": 0, "pagination": 0,
+    "param_extract": 0, "pricing_summary": 0, "quality_score": 0,
+    "quantile_median": 0, "ranked_mapping": 0, "regex_hash_pack": 0,
+    "seeded_sample": 0, "seeded_split": 0, "semi_join": 0, "simhash": 0,
+    "sort_by_length": 0, "source_mix": 0, "spell_match": 0,
+    "stitch_lines": 0, "template_frequency": 0, "template_induction": 0,
+    "template_match": 0, "threshold_grid": 0, "threshold_verdict": 0,
+    "to_seq": 0, "token_count": 0, "topk_per_group": 0, "union_dedup": 0,
+    "vocab_build": 0,
+}
 
 
 def test_empty_expectation_map_covers_registry():

@@ -204,6 +204,53 @@ def test_streaming_dedup_zero_batch_drain(spark, tmp_path):
     assert [f.name for f in res.schema.fields] == ["doc_id", "ts", "fp"]
 
 
+def test_streaming_dedup_zero_row_batch_reads_typed(spark, tmp_path):
+    """A committed ZERO-ROW batch (empty input part file → batch fires,
+    sink logs the batch with no data files) must read back as an empty
+    TYPED result without tripping the mismatched-out_dir guard: the sink's
+    `_spark_metadata` entry lets the read succeed with the written schema,
+    so 'committed batches + read failure' remains a reliable mismatch
+    signal (review finding: the guard must not assume committed ⇒ data
+    FILES, only committed ⇒ sink metadata entry)."""
+    from log_anomaly_detector_spark.streaming.dedup_stream import (
+        run_dedup_stream_once,
+    )
+
+    in_dir = tmp_path / "in"
+    spark.createDataFrame(
+        [], "doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    res = run_dedup_stream_once(
+        spark, str(in_dir), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == ["doc_id", "ts", "fp"]
+
+
+def test_sweep_on_fresh_or_missing_sink_is_empty_typed(spark, tmp_path):
+    """A scheduled sweep firing before the stream ever wrote data returns
+    an empty typed result (absent dir AND metadata-only dir), instead of
+    dying on the sink read."""
+    from log_anomaly_detector_spark.streaming.dedup_stream import (
+        run_dedup_stream_once,
+        sweep_sink_stragglers,
+    )
+
+    missing = sweep_sink_stragglers(spark, str(tmp_path / "never_written"))
+    assert missing.count() == 0
+    assert [f.name for f in missing.schema.fields] == [
+        "fp", "n_admitted", "keep_doc_id", "first_ts",
+    ]
+    # metadata-only sink: start a drain with an empty landing dir — the
+    # sink dir gets `_spark_metadata` eagerly but no batch ever fires
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    run_dedup_stream_once(spark, str(in_dir), str(tmp_path / "ckpt"), out)
+    meta_only = sweep_sink_stragglers(spark, out)
+    assert meta_only.count() == 0
+
+
 def test_streaming_dedup_warm_checkpoint_wrong_outdir_raises(spark, tmp_path):
     """A WARM checkpoint (committed batches) whose sink dir is missing means
     the caller resumed with a mismatched out_dir — that must raise, not read
