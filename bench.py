@@ -149,6 +149,27 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def bench_contract_walls(spark) -> dict[str, float]:
+    """Single-pass walls at the CORRECTNESS-GATE scale (sf0.01) for the two
+    queries the driver's correctness harness dropped in rounds 3 and 4
+    (`template_induction`, `mm_features`) — both green and fast, but absent
+    from CORRECTNESS_r0{3,4}.json. Recording their walls HERE puts a
+    per-round, driver-measured number in BENCH_r{N}.json regardless of what
+    the correctness harness keeps: no warm-up pass, one execution, exactly
+    the harness's own conditions."""
+    from log_anomaly_detector_spark.operators import all_queries
+
+    qs = all_queries()
+    walls: dict[str, float] = {}
+    for name in ("template_induction", "mm_features"):
+        t0 = time.time()
+        qs[name](spark, "/root/testdata/sf0.01").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        walls[name] = round(time.time() - t0, 3)
+    return walls
+
+
 def main() -> int:
     from log_anomaly_detector_spark.session import get_spark
 
@@ -158,6 +179,7 @@ def main() -> int:
 
     engine = bench_engine(spark)
     queries = bench_queries(spark, sf_dir)
+    contract_walls = bench_contract_walls(spark)
 
     result = {
         "metric": (
@@ -167,6 +189,7 @@ def main() -> int:
         "value": engine["engine_rows_per_sec"],
         "unit": "seqs/sec",
         "queries": queries,
+        "contract_walls_sf001": contract_walls,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "engine": engine,
         "config": {
