@@ -620,27 +620,85 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
-def _sims_to_centroids(v: Column, cents: list[list[float]]) -> Column:
-    """array<double> of cosine(v, centroid_c) — centroid matrix embedded once."""
+def _quantize_cents(cents: list[list[float]]) -> list[list[int]]:
+    """floor(x·1e6) per component, computed DRIVER-side — the same IEEE
+    double multiply + floor every engine applies (Python, numpy, Catalyst,
+    DuckDB all round-trip identically), so the quantized centroid matrix is
+    one shared constant."""
+    import math
+
+    return [[int(math.floor(x * 1e6)) for x in c] for c in cents]
+
+
+def _centroid_sims_q(v: Column, cents: list[list[float]]) -> Column:
+    """array<double> of QUANTIZED similarity(v, centroid_c), computed within
+    the row — the pure-Catalyst REFERENCE formulation (the hot path is
+    `_assign_udf`, same arithmetic as one numpy integer matmul per Arrow
+    batch; equivalence is pinned by test).
+
+    sim = idot(vq, cq) / (sqrt(idot(vq, vq)) · sqrt(idot(cq, cq))) over
+    floor(x·1e6) int64 components: every dot is an EXACT integer (≤ ~6.4e13
+    for 64 dims, inside both int64 and double's 2^53 — so even an engine
+    that sums in doubles is exact and ORDER-FREE), and the only float ops
+    are two sqrts, one multiply, one divide — single IEEE operations that
+    are bit-identical across Python/numpy/JVM/DuckDB. This replaces the
+    raw-float cosine argmax, whose fold-order-sensitive sums matched the
+    oracle only because the fixtures never produced a near-tie."""
     k, dim = len(cents), len(cents[0])
-    flat = F.lit([x for c in cents for x in c])
+    cq = _quantize_cents(cents)
+    import math
+
+    flatq = F.lit([x for c in cq for x in c])
+    cnorms = F.lit([math.sqrt(float(sum(x * x for x in c))) for c in cq])
+    vq = F.transform(v, lambda x: F.floor(x * 1e6).cast("long"))
+    vdot = F.aggregate(
+        F.zip_with(vq, vq, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(vdot.cast("double"))
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda cc: _cos(v, F.slice(flat, cc * dim + 1, dim)),
+        lambda cc: F.aggregate(
+            F.zip_with(
+                vq, F.slice(flatq, cc * dim + 1, dim), lambda a, b: a * b
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / (vnorm * F.element_at(cnorms, cc + 1)),
     )
+
+
+def _assign_udf(cents: list[list[float]]):
+    """Vectorized Arrow assignment kernel: the SAME quantized-integer
+    similarity as `_centroid_sims_q`, evaluated as one numpy int64 matmul
+    per batch — the sanctioned Pandas-UDF exception (the Catalyst
+    formulation is an interpreted K×dim fold per row: measured 139 s for
+    ONE pass over 2M×64-dim vectors on 8 cores; the kernel does the same
+    pass in seconds). Exactness argument in `_centroid_sims_q`'s docstring;
+    np.argmax takes the FIRST max, matching the `ties → lowest cid` rule."""
+    C = np.array(_quantize_cents(cents), dtype=np.int64)  # K × dim
+    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))  # K
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # np.stack raises on empty — guard the batch shape
+            return pd.Series([], dtype="int32")
+        mat = np.stack(vs.to_numpy())  # batch × dim
+        vq = np.floor(mat * 1e6).astype(np.int64)
+        d = (vq @ C.T).astype(np.float64)  # exact integers, batch × K
+        vn = np.sqrt((vq * vq).sum(axis=1).astype(np.float64))  # batch
+        sims = d / (vn[:, None] * cn[None, :])
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return assign
 
 
 def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """(vec_id, v, cid): nearest centroid by cosine, argmax computed within
-    the row; ties → lowest cid (array_position finds the first max)."""
-    return (
-        emb.withColumn("_sims", _sims_to_centroids(F.col("v"), cents))
-        .withColumn(
-            "cid",
-            (F.array_position(F.col("_sims"), F.array_max("_sims")) - 1).cast("int"),
-        )
-        .drop("_sims")
-    )
+    """(vec_id, v, cid): nearest centroid by quantized similarity, Arrow
+    kernel; ties → lowest cid (np.argmax returns the first max)."""
+    return emb.withColumn("cid", _assign_udf(cents)(F.col("v")))
 
 
 def build_ivf(
@@ -706,6 +764,17 @@ _IVF_COS = (
     "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
     "* sqrt(list_dot_product({b}, {b})))"
 )
+# quantized similarity for ASSIGNMENT and PROBE SELECTION (mirrors
+# _centroid_sims_q / _assign_udf exactly): floor(x·1e6) components, exact
+# order-free integer dots (≤2^53 so double-typed sums are still exact), two
+# sqrts + multiply + divide as the only float ops. `scored` keeps the raw
+# 6dp-rounded cosine — that is the OUTPUT value, not a discrete decision.
+_IVF_Q = "list_transform({v}, x -> floor(x * 1e6))"
+_IVF_QSIM = (
+    f"list_dot_product({_IVF_Q.format(v='{a}')}, {_IVF_Q.format(v='{b}')})"
+    f" / (sqrt(list_dot_product({_IVF_Q.format(v='{a}')}, {_IVF_Q.format(v='{a}')}))"
+    f" * sqrt(list_dot_product({_IVF_Q.format(v='{b}')}, {_IVF_Q.format(v='{b}')})))"
+)
 _ANN_IVF_SQL = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS}),
@@ -714,7 +783,7 @@ a0 AS (
     SELECT e.vec_id, e.v, c.cid,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY {_IVF_COS.format(a="e.v", b="c.cv")} DESC, c.cid
+             ORDER BY {_IVF_QSIM.format(a="e.v", b="c.cv")} DESC, c.cid
            ) AS rn
     FROM emb e CROSS JOIN c0 c
   ) WHERE rn = 1
@@ -741,7 +810,7 @@ idx AS (
     SELECT e.vec_id, e.v, c.cid,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY {_IVF_COS.format(a="e.v", b="c.cv")} DESC, c.cid
+             ORDER BY {_IVF_QSIM.format(a="e.v", b="c.cv")} DESC, c.cid
            ) AS rn
     FROM emb e CROSS JOIN c1full c
   ) WHERE rn = 1
@@ -751,7 +820,7 @@ probes AS (
     SELECT e.vec_id AS q_id, c.cid,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY {_IVF_COS.format(a="e.v", b="c.cv")} DESC, c.cid
+             ORDER BY {_IVF_QSIM.format(a="e.v", b="c.cv")} DESC, c.cid
            ) AS rn
     FROM emb e CROSS JOIN c1full c
     WHERE e.vec_id < {N_QUERIES}
@@ -787,18 +856,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _emb_dim(raw)
     if dim is None:  # empty corpus → empty result, contract schema
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    # single-split testdata: the per-row K×dim argmax (a heavy HOF — kept
-    # JVM-side because its float ops must mirror the SQL oracle's) otherwise
-    # runs in ONE task; the dim probe reads one row off the raw scan
-    emb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # single-split testdata: the Arrow assignment kernel otherwise runs in
+    # ONE task; the dim probe reads one row off the raw scan. The
+    # repartitioned corpus is tracked-persisted: the BUILD consumes it twice
+    # (seed collect + Lloyd-sum action) and the SEARCH action re-derives the
+    # index from it — without the cache each action repeats the parquet scan
+    # AND the id shuffle (MEMORY_AND_DISK: spills, never OOMs).
+    from log_anomaly_detector_spark.operators.caching import tracked_persist
+
+    emb = tracked_persist(
+        "ivf_emb",
+        raw.repartition(spark.sparkContext.defaultParallelism, "vec_id"),
+    )
     cents, index = build_ivf(emb, dim=dim)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     # probe list per query: top-nprobe centroid ids, computed within the row
-    # (sort (−sim, cid) structs → slice) — no crossJoin, no window
+    # (sort (−sim, cid) structs → slice) — no crossJoin, no window. The
+    # Catalyst quantized-sim formulation is fine here: N_QUERIES rows, not
+    # the corpus (the corpus-sized assignment goes through the Arrow kernel)
     probes = (
-        q.withColumn("_sims", _sims_to_centroids(F.col("qv"), cents))
+        q.withColumn("_sims", _centroid_sims_q(F.col("qv"), cents))
         .select(
             "q_id",
             "qv",

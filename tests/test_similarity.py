@@ -66,6 +66,47 @@ def test_bucket_kernel_matches_catalyst_reference(spark):
         assert got == ref, (n_tables, planes)
 
 
+def test_ivf_assign_kernel_matches_catalyst_reference(spark):
+    """The Arrow IVF assignment kernel (_assign_udf, numpy int64 matmul +
+    argmax) must be bit-identical to the pure-Catalyst quantized-sim
+    reference (_centroid_sims_q + first-max argmax) — the equivalence guard
+    the reference formulation exists for (same convention as the LSH bucket
+    kernel)."""
+    from pyspark.sql import functions as F
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        _assign_udf,
+        _centroid_sims_q,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(80)
+    )
+    cents = [list(r["v"]) for r in emb.orderBy("vec_id").limit(16).collect()]
+    ref = {
+        r["vec_id"]: r["cid"]
+        for r in emb.select(
+            "vec_id",
+            (
+                F.array_position(
+                    _centroid_sims_q(F.col("v"), cents),
+                    F.array_max(_centroid_sims_q(F.col("v"), cents)),
+                )
+                - 1
+            ).cast("int").alias("cid"),
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in emb.select(
+            "vec_id", _assign_udf(cents)(F.col("v")).alias("cid")
+        ).collect()
+    }
+    assert got == ref
+
+
 def test_near_dup_high_threshold_regime(spark):
     """embedding_near_dup_pairs in the PRODUCTION regime (τ=0.9, 6 planes ×
     16 tables — the wide/array dedup path and real bucket pruning): on a
