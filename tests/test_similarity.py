@@ -267,6 +267,26 @@ def test_embedding_near_dup_production_regime(spark, tmp_path):
         assert r["cosine"] >= 0.85
 
 
+def test_near_dup_regimes_do_not_thrash_persist_slots(spark):
+    """The contract (24×2) and production (8×12) regimes key their
+    signature-table persists BY REGIME: interleaving them in one session
+    must leave BOTH caches live (a shared key would unpersist the other
+    regime's cache on every alternation, silently reintroducing the
+    double-computed Arrow kernel the persist exists to avoid)."""
+    from log_anomaly_detector_spark.operators.caching import _LIVE, release_all
+    from log_anomaly_detector_spark.operators.similarity import (
+        q_embedding_near_dup,
+        q_embedding_near_dup_production,
+    )
+
+    release_all()
+    q_embedding_near_dup(spark, SF).collect()
+    q_embedding_near_dup_production(spark, SF).collect()
+    live = set(_LIVE)
+    assert {"embnd_skinny_24x2", "embnd_skinny_8x12"} <= live, live
+    release_all()
+
+
 def test_similarity_oracle_parity_with_null_vectors(spark, tmp_path):
     """Both engines must pin the SAME null-vector semantics: the oracle SQLs
     carry `WHERE embedding IS NOT NULL` mirroring the Spark-side filter, so a
