@@ -28,6 +28,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _load1() -> float:
+    """1-minute host loadavg — recorded per trial/query because this box is
+    co-tenanted and per-query walls swing ±4× with load (round-5 verdict:
+    the driver's 202k engine reading vs the judge's 246k on byte-identical
+    code). A wall without its load reading is not adjudicable."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return -1.0
+
 BENCH_QUERIES = [
     "pricing_summary",
     "group_collect_ordered",
@@ -110,14 +122,17 @@ def bench_engine(spark) -> dict:
     # is co-tenanted and a single pass can land on a load spike.
     out: dict = {}
     trials: list[dict] = []
+    trial_loads: list[float] = []
     for phase in ("warmup", "m1", "m2", "m3"):
         run_dir = tempfile.mkdtemp(prefix=f"lad_bench_{phase}_")
+        load_at_start = _load1()
         res = run_validation(
             spark, seqs, snap, allowed, baseline, run_dir, cfg,
             input_digest="bench", part_ids=list(range(ENGINE_PARTS)),
         )
         if phase != "warmup":
             trials.append(res.metrics)
+            trial_loads.append(load_at_start)
             if not out or res.metrics["rows_per_sec"] > out["engine_rows_per_sec"]:
                 out = {
                     "engine_rows": res.metrics["rows_validated"],
@@ -130,40 +145,59 @@ def bench_engine(spark) -> dict:
                 }
         shutil.rmtree(run_dir, ignore_errors=True)
     out["engine_trials_rows_per_sec"] = [t["rows_per_sec"] for t in trials]
+    out["engine_trials_load1"] = trial_loads
     return out
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query warm walls + the host load1 at each timed pass.
+
+    Queries run in the fixed BENCH_QUERIES order, so round-over-round
+    comparisons are same-order. Ordering matters beyond load: Spark's
+    CacheManager substitutes matching canonical subplans from any persisted
+    DataFrame (CLAUDE.md gotcha), so a query sharing a subplan with an earlier
+    query's tracked persist (e.g. the similarity family's exploded-signature /
+    norms tables) reads that cache in its timed pass. That reuse is part of
+    the measured steady-state — but it means a wall here is NOT a cold
+    isolated wall; use a fresh session (tools/ scripts) for those."""
     from log_anomaly_detector_spark.operators import all_queries
     from log_anomaly_detector_spark.operators.caching import release_all
 
     qs = all_queries()
     times: dict[str, float] = {}
+    loads: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm plans + cache
+        loads[name] = _load1()
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
     release_all()  # drop tracked intra-query caches before the engine part
-    return times
+    return times, loads
 
 
-def bench_contract_walls(spark) -> dict[str, float]:
+def bench_contract_walls(spark, sf_dir: str) -> dict[str, object]:
     """Single-pass walls at the CORRECTNESS-GATE scale (sf0.01) for the two
     queries the driver's correctness harness dropped in rounds 3 and 4
     (`template_induction`, `mm_features`) — both green and fast, but absent
     from CORRECTNESS_r0{3,4}.json. Recording their walls HERE puts a
     per-round, driver-measured number in BENCH_r{N}.json regardless of what
     the correctness harness keeps: no warm-up pass, one execution, exactly
-    the harness's own conditions."""
+    the harness's own conditions. The dir is resolved from the same
+    SPARK_GRAFT_SF_DIR root as bench_queries (sibling ``sf0.01``), so a bench
+    run pointed at another testdata tree measures THAT tree's sf0.01 — the
+    resolved dir is recorded in the output alongside the walls."""
     from log_anomaly_detector_spark.operators import all_queries
 
+    gate_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(gate_dir):
+        gate_dir = "/root/testdata/sf0.01"
     qs = all_queries()
-    walls: dict[str, float] = {}
+    walls: dict[str, float] = {"_load1": _load1(), "_dir": gate_dir}
     for name in ("template_induction", "mm_features"):
         t0 = time.time()
-        qs[name](spark, "/root/testdata/sf0.01").write.format("noop").mode(
+        qs[name](spark, gate_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         walls[name] = round(time.time() - t0, 3)
@@ -178,8 +212,8 @@ def main() -> int:
     spark = get_spark("bench")
 
     engine = bench_engine(spark)
-    queries = bench_queries(spark, sf_dir)
-    contract_walls = bench_contract_walls(spark)
+    queries, query_loads = bench_queries(spark, sf_dir)
+    contract_walls = bench_contract_walls(spark, sf_dir)
 
     result = {
         "metric": (
@@ -189,6 +223,7 @@ def main() -> int:
         "value": engine["engine_rows_per_sec"],
         "unit": "seqs/sec",
         "queries": queries,
+        "query_loads": query_loads,
         "contract_walls_sf001": contract_walls,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "engine": engine,

@@ -24,6 +24,7 @@ Scale shapes (the parts that must survive 10^12 vectors):
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -40,6 +41,18 @@ def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+def _vq_col(v: Column) -> Column:
+    """array<int> of floor(x·1e6) — the shared quantization, computed
+    JVM-SIDE so the Arrow kernels receive 4-byte ints instead of 8-byte
+    doubles (halves the Python-worker transfer, which profiling showed is
+    the binding cost of the corpus-sized kernel passes: ~1 GB of float64
+    per 2M×64 pass before this). floor(double·1e6) is the identical IEEE
+    multiply+floor numpy applies, so kernel outputs are unchanged
+    bit-for-bit; int32 is safe for any |component| < ~2147 (embedding
+    components are O(1))."""
+    return F.transform(v, lambda x: F.floor(x * 1e6).cast("int"))
 
 
 def _cos(a, b):
@@ -155,7 +168,11 @@ def _bucket_udf(dim: int, n_tables: int, planes: int):
     Integer arithmetic is order-free, so the result is bit-identical to the
     Catalyst formulation AND to the DuckDB oracle at any parallelism — the
     sanctioned Pandas-UDF exception: built-ins express this only as an
-    interpreted per-plane fold (measured seconds for thousands of rows)."""
+    interpreted per-plane fold (measured seconds for thousands of rows).
+
+    Input is the PRE-QUANTIZED `_vq_col` array<int> (the floor happens
+    JVM-side), so each corpus pass ships half the Arrow bytes of the former
+    float64 feed; callers pass ``_vq_col(F.col("v"))``."""
     signs = (
         np.array(_plane_signs(n_tables, planes, dim), dtype=np.int64)
         .reshape(n_tables * planes, dim)
@@ -167,8 +184,7 @@ def _bucket_udf(dim: int, n_tables: int, planes: int):
     def buckets(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:  # np.stack raises on empty — guard the batch shape
             return pd.Series([], dtype=object)
-        mat = np.stack(vs.to_numpy())  # batch × dim
-        vq = np.floor(mat * 1e6).astype(np.int64)
+        vq = np.stack(vs.to_numpy()).astype(np.int64)  # batch × dim
         bits = (vq @ signs > 0).reshape(-1, n_tables, planes)
         return pd.Series(list((bits * pw).sum(axis=2)))
 
@@ -183,7 +199,7 @@ def _lsh_buckets(
     row blowup."""
     udf = _bucket_udf(dim, n_tables, planes)
     return emb.select(
-        "vec_id", F.posexplode(udf(F.col("v"))).alias("tbl", "bucket")
+        "vec_id", F.posexplode(udf(_vq_col(F.col("v")))).alias("tbl", "bucket")
     )
 
 
@@ -414,7 +430,7 @@ def embedding_near_dup_pairs(
     from log_anomaly_detector_spark.operators.caching import tracked_persist
 
     udf = _bucket_udf(dim, n_tables, planes)
-    sigs = emb.select("vec_id", udf(F.col("v")).alias("sig"))
+    sigs = emb.select("vec_id", udf(_vq_col(F.col("v"))).alias("sig"))
     if n_tables * planes <= 62:
         # SKINNY candidate stream: only (id, PACKED signature) rides the
         # bucket self-join — the whole signature is ONE long (planes bits per
@@ -608,7 +624,8 @@ WHERE round(list_dot_product(a.v, b.v)
 
 
 # --- IVF ANN: the other scale path for similarity search. Deterministic
-# build: K seed centroids (first K vectors) + ONE Lloyd refinement. The
+# build: K seed centroids (md5-min-K sample of the corpus) + ONE Lloyd
+# refinement. The
 # centroid matrix lives on the driver (K×dim — tiny by construction) and is
 # embedded as an array literal, so ASSIGNMENT IS A PER-ROW EXPRESSION: sims =
 # transform(seq(K), c -> cos(v, centroid_c)); cid = argmax — no crossJoin row
@@ -625,8 +642,6 @@ def _quantize_cents(cents: list[list[float]]) -> list[list[int]]:
     double multiply + floor every engine applies (Python, numpy, Catalyst,
     DuckDB all round-trip identically), so the quantized centroid matrix is
     one shared constant."""
-    import math
-
     return [[int(math.floor(x * 1e6)) for x in c] for c in cents]
 
 
@@ -646,8 +661,6 @@ def _centroid_sims_q(v: Column, cents: list[list[float]]) -> Column:
     oracle only because the fixtures never produced a near-tie."""
     k, dim = len(cents), len(cents[0])
     cq = _quantize_cents(cents)
-    import math
-
     flatq = F.lit([x for c in cq for x in c])
     cnorms = F.lit([math.sqrt(float(sum(x * x for x in c))) for c in cq])
     vq = F.transform(v, lambda x: F.floor(x * 1e6).cast("long"))
@@ -677,7 +690,11 @@ def _assign_udf(cents: list[list[float]]):
     formulation is an interpreted K×dim fold per row: measured 139 s for
     ONE pass over 2M×64-dim vectors on 8 cores; the kernel does the same
     pass in seconds). Exactness argument in `_centroid_sims_q`'s docstring;
-    np.argmax takes the FIRST max, matching the `ties → lowest cid` rule."""
+    np.argmax takes the FIRST max, matching the `ties → lowest cid` rule.
+
+    Input is the PRE-QUANTIZED `_vq_col` array<int> — the corpus-sized
+    assignment passes were Arrow-transfer-bound (~1 GB of float64 per 2M×64
+    pass), and shipping the floor(x·1e6) ints as int32 halves that."""
     C = np.array(_quantize_cents(cents), dtype=np.int64)  # K × dim
     cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))  # K
 
@@ -685,8 +702,7 @@ def _assign_udf(cents: list[list[float]]):
     def assign(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:  # np.stack raises on empty — guard the batch shape
             return pd.Series([], dtype="int32")
-        mat = np.stack(vs.to_numpy())  # batch × dim
-        vq = np.floor(mat * 1e6).astype(np.int64)
+        vq = np.stack(vs.to_numpy()).astype(np.int64)  # batch × dim
         d = (vq @ C.T).astype(np.float64)  # exact integers, batch × K
         vn = np.sqrt((vq * vq).sum(axis=1).astype(np.float64))  # batch
         sims = d / (vn[:, None] * cn[None, :])
@@ -696,9 +712,17 @@ def _assign_udf(cents: list[list[float]]):
 
 
 def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """(vec_id, v, cid): nearest centroid by quantized similarity, Arrow
-    kernel; ties → lowest cid (np.argmax returns the first max)."""
-    return emb.withColumn("cid", _assign_udf(cents)(F.col("v")))
+    """(vec_id, v, vq, cid): nearest centroid by quantized similarity, Arrow
+    kernel; ties → lowest cid (np.argmax returns the first max). ``emb`` must
+    carry the pre-quantized ``vq`` column (see `_with_vq`)."""
+    return emb.withColumn("cid", _assign_udf(cents)(F.col("vq")))
+
+
+def _with_vq(emb: DataFrame) -> DataFrame:
+    """Attach the quantized `vq` column once if absent — callers that persist
+    the corpus add it BEFORE the persist so the int32 arrays are cached and
+    every kernel pass reads them without recomputing the floor."""
+    return emb if "vq" in emb.columns else emb.withColumn("vq", _vq_col(F.col("v")))
 
 
 def build_ivf(
@@ -709,18 +733,28 @@ def build_ivf(
     Centroid collection is O(K×dim) driver data — the analogue of a trained
     coarse quantizer, which IS driver/broadcast state in any IVF system.
     Pass ``dim`` when ``emb`` sits behind a shuffle (see
-    embedding_near_dup_pairs)."""
+    embedding_near_dup_pairs).
+
+    Seeding is a deterministic md5-min-K sample (the `kmv_distinct` trick):
+    the K corpus vectors with the smallest md5(vec_id) hex strings, cid =
+    rank in that order. No assumption about id range or density — any
+    non-empty corpus seeds; md5 parity across Spark/DuckDB keeps the seed
+    set (and therefore the whole index) oracle-checkable. The global
+    orderBy+limit plans as TakeOrdered (per-task top-K, K×dim driver data)."""
     dim = dim if dim is not None else _emb_dim(emb)
+    emb = _with_vq(emb)
     seeds = (
-        emb.filter((F.col("vec_id") < N_CENTROIDS) & F.col("v").isNotNull())
-        .orderBy("vec_id")
+        emb.filter(F.col("v").isNotNull())
+        .select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(N_CENTROIDS)
         .collect()
     )
+    seeds.sort(key=lambda r: (r["h"], r["vec_id"]))  # pin order off-plan too
     c0 = [list(r["v"]) for r in seeds]
     if not c0:
         raise ValueError(
-            "build_ivf: no seed rows (vec_id < N_CENTROIDS) — the corpus is "
-            "empty or its ids don't start at 0; an IVF index needs seed "
+            "build_ivf: empty embeddings corpus — an IVF index needs seed "
             "centroids (contract queries short-circuit empty corpora before "
             "this point)"
         )
@@ -737,10 +771,12 @@ def build_ivf(
     # the per-(cid, i) row count IS the cluster size (every member contributes
     # exactly one entry per component) — folding it into the same aggregate
     # avoids a second full pass of the heavy assignment kernel that a
-    # separate groupBy(cid).count() would trigger (no common-subplan reuse)
-    pos = a0.select("cid", F.posexplode("v").alias("i", "x"))
+    # separate groupBy(cid).count() would trigger (no common-subplan reuse).
+    # The explode reads the cached int32 `vq` column (floor already applied),
+    # so the shuffle carries 4-byte components and no per-element floor runs.
+    pos = a0.select("cid", F.posexplode("vq").alias("i", "x"))
     sums = pos.groupBy("cid", "i").agg(
-        F.sum(F.floor(F.col("x") * 1e6).cast("long")).alias("s"),
+        F.sum(F.col("x").cast("long")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
     comp: dict[int, dict[int, int]] = {}
@@ -777,7 +813,15 @@ _IVF_QSIM = (
 )
 _ANN_IVF_SQL = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS}),
+c0 AS (
+  -- md5-min-K seed sample, cid = rank in md5 order (mirrors build_ivf;
+  -- same md5(cast(id AS varchar)) parity the kmv_distinct oracle relies on)
+  SELECT cast(rn - 1 AS int) AS cid, cv FROM (
+    SELECT v AS cv,
+           row_number() OVER (ORDER BY md5(cast(vec_id AS varchar)), vec_id) AS rn
+    FROM emb
+  ) WHERE rn <= {N_CENTROIDS}
+),
 a0 AS (
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,
@@ -861,12 +905,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartitioned corpus is tracked-persisted: the BUILD consumes it twice
     # (seed collect + Lloyd-sum action) and the SEARCH action re-derives the
     # index from it — without the cache each action repeats the parquet scan
-    # AND the id shuffle (MEMORY_AND_DISK: spills, never OOMs).
+    # AND the id shuffle (MEMORY_AND_DISK: spills, never OOMs). The
+    # quantized `vq` column is attached BEFORE the persist: both
+    # corpus-sized kernel passes then ship cached int32 arrays through
+    # Arrow instead of re-derived float64 (half the transfer bytes — the
+    # measured binding cost of this query at 2M vectors).
     from log_anomaly_detector_spark.operators.caching import tracked_persist
 
     emb = tracked_persist(
         "ivf_emb",
-        raw.repartition(spark.sparkContext.defaultParallelism, "vec_id"),
+        _with_vq(raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")),
     )
     cents, index = build_ivf(emb, dim=dim)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(

@@ -30,8 +30,49 @@ def test_lsh_recall(spark, exact):
 
 
 def test_ivf_recall(spark, exact):
+    """Floor gate on the CONTRACT corpus — which is structureless (random
+    far vectors, bulk cosine ~0.3), so honest IVF recall here is bounded
+    near the probed fraction nprobe/K = 0.25 (measured 0.44-0.48 across
+    sfs — the Lloyd step beats the random-partition floor, nothing more).
+    Rounds ≤5 read 0.84 ONLY because the old first-K seeding used the query
+    vectors themselves (vec_id < 16 ⊇ queries 0-4) as centroid anchors —
+    an index that memorizes its queries. The md5-min-K seeding removed that
+    artifact; the REAL recall property (≥0.8 at fraction 0.25) is gated on
+    a corpus with cluster structure in test_ivf_recall_clustered_corpus."""
     ivf = {(r["q_id"], r["c_id"]) for r in q_ann_ivf(spark, SF).collect()}
-    assert len(exact & ivf) / len(exact) >= 0.5
+    assert len(exact & ivf) / len(exact) >= 0.35
+
+
+def test_ivf_recall_clustered_corpus(spark, tmp_path):
+    """IVF's reason to exist: on a corpus WITH cluster structure (the shape
+    of real embedding corpora), probing nprobe/K = 1/4 of the lists must
+    recover ≥0.8 of the exact top-k — neighbors share a cluster, clusters
+    map to inverted lists. 16 Gaussian clusters × 40 members in 64-dim;
+    queries are members of clusters 0-4 (vec_id < N_QUERIES)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    # queries first: one perturbed member of clusters 0..4 gets vec_id 0..4
+    for c in range(5):
+        w = centers[c] + rng.normal(scale=0.15, size=64)
+        rows.append((c, [float(x) for x in w / np.linalg.norm(w)], c))
+    vid = 5
+    for c in range(16):
+        for _ in range(40):
+            w = centers[c] + rng.normal(scale=0.15, size=64)
+            rows.append((vid, [float(x) for x in w / np.linalg.norm(w)], c))
+            vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    exact = {
+        (r["q_id"], r["c_id"]) for r in q_cosine_topk(spark, str(tmp_path)).collect()
+    }
+    ivf = {(r["q_id"], r["c_id"]) for r in q_ann_ivf(spark, str(tmp_path)).collect()}
+    assert len(exact & ivf) / len(exact) >= 0.8, (len(exact & ivf), len(exact))
 
 
 def test_bucket_kernel_matches_catalyst_reference(spark):
@@ -43,6 +84,7 @@ def test_bucket_kernel_matches_catalyst_reference(spark):
     from log_anomaly_detector_spark.operators.similarity import (
         _bucket_array,
         _bucket_udf,
+        _vq_col,
     )
 
     emb = (
@@ -60,7 +102,8 @@ def test_bucket_kernel_matches_catalyst_reference(spark):
         got = {
             r["vec_id"]: list(r["sig"])
             for r in emb.select(
-                "vec_id", _bucket_udf(64, n_tables, planes)(F.col("v")).alias("sig")
+                "vec_id",
+                _bucket_udf(64, n_tables, planes)(_vq_col(F.col("v"))).alias("sig"),
             ).collect()
         }
         assert got == ref, (n_tables, planes)
@@ -77,6 +120,7 @@ def test_ivf_assign_kernel_matches_catalyst_reference(spark):
     from log_anomaly_detector_spark.operators.similarity import (
         _assign_udf,
         _centroid_sims_q,
+        _vq_col,
     )
 
     emb = (
@@ -101,7 +145,7 @@ def test_ivf_assign_kernel_matches_catalyst_reference(spark):
     got = {
         r["vec_id"]: r["cid"]
         for r in emb.select(
-            "vec_id", _assign_udf(cents)(F.col("v")).alias("cid")
+            "vec_id", _assign_udf(cents)(_vq_col(F.col("v"))).alias("cid")
         ).collect()
     }
     assert got == ref
