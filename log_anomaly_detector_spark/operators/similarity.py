@@ -59,6 +59,49 @@ def _cos(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _seq_fold(mat: "np.ndarray") -> "np.ndarray":
+    """Left-fold row sums with float64 rounding at EVERY step — i.e. the
+    bit-identical value of Catalyst's `aggregate(zip_with(a,b,*), 0.0, +)`
+    and DuckDB's `list_dot_product` sequential accumulation. np.cumsum is a
+    plain sequential loop per row (no pairwise blocking, unlike np.sum /
+    np.dot), so cumsum[…, -1] reproduces ((0+p0)+p1)+… exactly; 0.0+p0 == p0
+    in IEEE, so omitting the explicit zero seed changes nothing."""
+    return np.cumsum(mat, axis=1)[:, -1]
+
+
+def _score_udf(qrows: dict[int, list[float]]):
+    """Arrow kernel for the IVF/exact candidate-scoring hot path: RAW float64
+    cosine(query, candidate), bit-identical to the Catalyst `_cos` fold (see
+    `_seq_fold` — every partial sum rounds at the same step in the same
+    order), so swapping it in changes NO output value and the DuckDB oracle
+    stays green untouched. The Catalyst formulation is an interpreted
+    3×dim-element fold per row (higher-order functions don't codegen —
+    CLAUDE.md gotcha): measured ~34 s for 2.5M candidates × 64 dims on 2
+    cores, the dominant wall of `q_ann_ivf` at corpus scale; this kernel
+    does the same rows in ~2 s.
+
+    The query vectors ride the CLOSURE (N_QUERIES×dim driver-side constant,
+    same pattern as the centroid/hyperplane matrices), so each candidate row
+    ships only (q_id, candidate_vector) through Arrow — no per-candidate
+    query-vector duplication."""
+    qids = sorted(qrows)
+    Q = np.array([qrows[q] for q in qids], dtype=np.float64)  # nq × dim
+    qn = np.sqrt(_seq_fold(Q * Q))  # per-query ‖q‖, same sequential fold
+    idx = {q: i for i, q in enumerate(qids)}
+
+    @F.pandas_udf("double")
+    def score(qid: pd.Series, cv: pd.Series) -> pd.Series:
+        if len(cv) == 0:  # np.stack raises on empty — guard the batch shape
+            return pd.Series([], dtype="float64")
+        C = np.stack(cv.to_numpy())  # batch × dim
+        qi = qid.map(idx).to_numpy(dtype=np.int64)
+        dots = _seq_fold(Q[qi] * C)
+        cn = np.sqrt(_seq_fold(C * C))
+        return pd.Series(dots / (qn[qi] * cn))
+
+    return score
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the first N_QUERIES vectors. All arithmetic
     on array<double> with a sequential fold — deterministic, oracle-safe.
@@ -73,11 +116,23 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
-    cos = F.round(_cos(F.col("qv"), F.col("cv")), 6)
+    # the scoring pass is corpus × N_QUERIES rows — the Arrow kernel computes
+    # the identical sequential-fold cosine ~17× faster than the interpreted
+    # Catalyst fold (see _score_udf; bit-exact, oracle untouched). Queries
+    # are a driver-side constant, so the join degenerates to a c_id filter.
+    qrows = {r["q_id"]: list(r["qv"]) for r in q.collect()}
+    if not qrows:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
-        q.join(c, F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cos.alias("cosine"))
+        q.select("q_id").join(c, F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(_score_udf(qrows)(F.col("q_id"), F.col("cv")), 6).alias(
+                "cosine"
+            ),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
@@ -948,14 +1003,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cid"),
         )
     )
-    cand = probes.join(
+    # candidate scoring is the corpus-proportional hot path (nprobe/K of the
+    # table per query): the query vectors are a driver-side constant
+    # (N_QUERIES×dim, collected from the cached corpus), so candidates ship
+    # only (q_id, vector) to the Arrow scoring kernel — the Catalyst `_cos`
+    # fold on the same rows is interpreted and was the measured wall (~34 s
+    # vs ~2 s at 2M vectors / 2 cores); outputs are bit-identical (see
+    # `_score_udf`), which the equivalence test pins.
+    qrows = {r["q_id"]: list(r["qv"]) for r in q.collect()}
+    if not qrows:  # corpus has no query-range ids → empty result, same schema
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    cand = probes.select("q_id", "cid").join(
         index.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv_"), "cid"),
         "cid",
     ).filter(F.col("q_id") != F.col("c_id"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
         cand.select(
-            "q_id", "c_id", F.round(_cos(F.col("qv"), F.col("cv_")), 6).alias("cosine")
+            "q_id",
+            "c_id",
+            F.round(_score_udf(qrows)(F.col("q_id"), F.col("cv_")), 6).alias(
+                "cosine"
+            ),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)

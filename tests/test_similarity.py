@@ -109,6 +109,49 @@ def test_bucket_kernel_matches_catalyst_reference(spark):
         assert got == ref, (n_tables, planes)
 
 
+def test_score_kernel_matches_catalyst_fold_bitwise(spark):
+    """The Arrow scoring kernel (_score_udf) must equal the Catalyst _cos
+    fold EXACTLY — not approximately: np.cumsum's sequential accumulation
+    reproduces aggregate(zip_with(...), 0.0, +)'s per-step float64 rounding,
+    so raw (unrounded) cosines are required to be bit-identical. This is the
+    guard that lets q_ann_ivf / q_cosine_topk swap the interpreted fold for
+    the kernel without touching the DuckDB oracles."""
+    from pyspark.sql import functions as F
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        _cos,
+        _score_udf,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .limit(200)
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    qrows = {r["q_id"]: list(r["qv"]) for r in q.collect()}
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    pairs = q.join(c, F.col("q_id") != F.col("c_id"))
+    ref = {
+        (r["q_id"], r["c_id"]): r["cos"]
+        for r in pairs.select(
+            "q_id", "c_id", _cos(F.col("qv"), F.col("cv")).alias("cos")
+        ).collect()
+    }
+    got = {
+        (r["q_id"], r["c_id"]): r["cos"]
+        for r in pairs.select(
+            "q_id",
+            "c_id",
+            _score_udf(qrows)(F.col("q_id"), F.col("cv")).alias("cos"),
+        ).collect()
+    }
+    assert got == ref  # exact float equality, no tolerance
+
+
 def test_ivf_assign_kernel_matches_catalyst_reference(spark):
     """The Arrow IVF assignment kernel (_assign_udf, numpy int64 matmul +
     argmax) must be bit-identical to the pure-Catalyst quantized-sim

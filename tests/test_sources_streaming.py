@@ -325,6 +325,51 @@ def test_streaming_dedup_batch_sweep_catches_late_straggler(spark, tmp_path):
     assert s["first_ts"] == t0
 
 
+def test_streaming_dedup_wide_watermark_leaves_no_stragglers(spark, tmp_path):
+    """Second watermark setting for the straggler composition (r5 verdict
+    optional-hardening): with a horizon WIDE enough to still hold doc 1's
+    state when the duplicate lands (1 day vs the 1-hour test above), the
+    stream itself drops the straggler online — and the batch sweep over the
+    sink must then find NOTHING, i.e. the stream/sweep composition never
+    double-counts a duplicate that was already handled in-state. Together
+    the two tests pin the trade: watermark width buys online recall, the
+    sweep recovers exactly what the chosen width gave up."""
+    import datetime as dt
+
+    from log_anomaly_detector_spark.streaming.dedup_stream import (
+        run_dedup_stream_once,
+        sweep_sink_stragglers,
+    )
+
+    in_dir = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def land(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    # identical landing schedule to the 1-hour test above — only the
+    # watermark differs
+    land([(1, t0, "the quick brown fox"), (2, t0, "some other doc")])
+    run_dedup_stream_once(spark, str(in_dir), ckpt, out, watermark="1 day")
+    land([(3, t0 + dt.timedelta(hours=3), "watermark advancer")])
+    run_dedup_stream_once(spark, str(in_dir), ckpt, out, watermark="1 day")
+    # the would-be straggler: watermark = max_ts - 1 day < t0, so doc 1's
+    # state is still live and the stream dedups it online
+    land([(4, t0 + dt.timedelta(hours=3, minutes=30), "the quick brown fox")])
+    res3 = run_dedup_stream_once(
+        spark, str(in_dir), ckpt, out, watermark="1 day"
+    )
+    admitted = sorted(r["doc_id"] for r in res3.collect())
+    assert admitted == [1, 2, 3], admitted  # doc 4 dropped in-state
+
+    # nothing left for the offline sweep — no double-counting
+    assert sweep_sink_stragglers(spark, out).count() == 0
+
+
 def test_stateful_streaming_accumulates_across_batches(spark, tmp_path):
     """applyInPandasWithState: state persists across micro-batches — feeding
     the same docs in two batches doubles the accumulated counts."""
