@@ -102,6 +102,43 @@ def _score_udf(qrows: dict[int, list[float]]):
     return score
 
 
+def _norm_udf():
+    """Arrow kernel for the corpus-sized norm pass: sqrt of the sequential
+    sum of squares, bit-identical to Catalyst's `sqrt(_dot(v, v))` (same
+    `_seq_fold` argument as `_score_udf`). The inline fold is interpreted
+    per element — a full-corpus pass at 2M×64 is 128M interpreted ops for
+    what numpy does in one vectorized sweep. Factory (not module-level
+    decoration): pandas_udf return-type strings parse at call time against a
+    live session (CLAUDE.md gotcha)."""
+
+    @F.pandas_udf("double")
+    def norm(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # np.stack raises on empty — guard the batch shape
+            return pd.Series([], dtype="float64")
+        C = np.stack(v.to_numpy())
+        return pd.Series(np.sqrt(_seq_fold(C * C)))
+
+    return norm
+
+
+def _pair_dot_udf():
+    """Arrow kernel for candidate-pair dot products (near-dup verify):
+    sequential float64 fold of elementwise products, bit-identical to
+    Catalyst's `_dot(va, vb)` — both vectors ship per pair (pair-bounded
+    stream, never corpus²). Factory for the same call-time-parse reason as
+    `_norm_udf`."""
+
+    @F.pandas_udf("double")
+    def pdot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:  # np.stack raises on empty — guard the batch shape
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy())
+        B = np.stack(vb.to_numpy())
+        return pd.Series(_seq_fold(A * B))
+
+    return pdot
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the first N_QUERIES vectors. All arithmetic
     on array<double> with a sequential fold — deterministic, oracle-safe.
@@ -363,24 +400,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector fetch: broadcast the BOUNDED candidate-id pairs into a corpus
     # scan — the corpus streams, only candidate rows survive the join
     candv = emb.join(F.broadcast(cand), emb["vec_id"] == cand["c_id"]).select(
-        "q_id",
-        "c_id",
-        F.col("v").alias("cv"),
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cn"),
+        "q_id", "c_id", F.col("v").alias("cv")
     )
-    # query vectors arrive via the N_QUERIES-row broadcast
-    paired = candv.join(
-        F.broadcast(qemb.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))),
-        "q_id",
-    )
-    cos = F.round(
-        _dot(F.col("qv"), F.col("cv"))
-        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.col("cn")),
-        6,
-    )
+    # rerank via the Arrow scoring kernel: query vectors are a driver-side
+    # constant riding the kernel closure (replaces the former qv broadcast
+    # join + interpreted per-candidate fold; bit-identical values — see
+    # _score_udf — so the DuckDB oracle is untouched)
+    qrows = {r["vec_id"]: list(r["v"]) for r in qemb.collect()}
+    if not qrows:  # no query-range ids → empty result, contract schema
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    cos = F.round(_score_udf(qrows)(F.col("q_id"), F.col("cv")), 6)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
-        paired.select("q_id", "c_id", cos.alias("cosine"))
+        candv.select("q_id", "c_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
@@ -581,7 +613,10 @@ def embedding_near_dup_pairs(
     # per action instead of twice (MEMORY_AND_DISK: spills, never OOMs)
     withn = tracked_persist(
         "embnd_norms",
-        emb.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("n")),
+        # Arrow norm kernel: bit-identical to sqrt(_dot(v, v)) (see
+        # _norm_udf) but vectorized — the inline fold interpreted a full
+        # corpus-sized pass per action before this
+        emb.select("vec_id", "v", _norm_udf()(F.col("v")).alias("n")),
     )
     paired = pairs.join(
         withn.select(
@@ -594,7 +629,13 @@ def embedding_near_dup_pairs(
         ),
         "id_b",
     )
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    # pair dot via the Arrow kernel (bit-identical sequential fold, see
+    # _pair_dot_udf) — dot/(na*nb) evaluates the same IEEE ops as the inline
+    # cosine, so the 6dp round stays bit-exact vs the DuckDB oracle
+    cos = F.round(
+        _pair_dot_udf()(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        6,
+    )
     return (
         paired.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)

@@ -152,6 +152,42 @@ def test_score_kernel_matches_catalyst_fold_bitwise(spark):
     assert got == ref  # exact float equality, no tolerance
 
 
+def test_norm_and_pairdot_kernels_match_catalyst_fold_bitwise(spark):
+    """_norm_udf == sqrt(_dot(v,v)) and _pair_dot_udf == _dot(va,vb) with
+    EXACT float equality (sequential-fold argument, same as _score_udf) —
+    the guards for the near-dup verify stage's kernel swap."""
+    from pyspark.sql import functions as F
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        _dot,
+        _norm_udf,
+        _pair_dot_udf,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .limit(100)
+    )
+    both = emb.select(
+        "vec_id",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("ref_n"),
+        _norm_udf()(F.col("v")).alias("got_n"),
+    ).collect()
+    assert all(r["ref_n"] == r["got_n"] for r in both)  # exact
+
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).limit(500)
+    dots = pairs.select(
+        _dot(F.col("va"), F.col("vb")).alias("ref_d"),
+        _pair_dot_udf()(F.col("va"), F.col("vb")).alias("got_d"),
+    ).collect()
+    assert len(dots) > 0
+    assert all(r["ref_d"] == r["got_d"] for r in dots)  # exact
+
+
 def test_ivf_assign_kernel_matches_catalyst_reference(spark):
     """The Arrow IVF assignment kernel (_assign_udf, numpy int64 matmul +
     argmax) must be bit-identical to the pure-Catalyst quantized-sim
