@@ -814,6 +814,140 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     return emb.withColumn("cid", _assign_udf(cents)(F.col("vq")))
 
 
+def _probe_lists(
+    cents: list[list[float]], qrows: dict[int, list[float]]
+) -> dict[int, list[int]]:
+    """Top-N_PROBE centroid ids per query, computed DRIVER-side with the
+    exact `_centroid_sims_q` arithmetic: integer quantized dots (exact in
+    int64 and double), vnorm = sqrt(float(idot)), sim = float(idot) /
+    (vnorm · cnorm) — single IEEE ops, bit-identical across
+    Python/numpy/JVM/DuckDB — then sort by (−sim, cid) like the Catalyst
+    array_sort(struct(neg, cid)) slice (equivalence test pins parity).
+    Queries and centroids are both driver-side constants, so this is O(nq·K·
+    dim) driver work — no reason to round-trip 5 rows through a plan."""
+    cq = _quantize_cents(cents)
+    cns = [math.sqrt(float(sum(x * x for x in c))) for c in cq]
+    out: dict[int, list[int]] = {}
+    for q_id, qv in qrows.items():
+        vq = [int(math.floor(x * 1e6)) for x in qv]
+        vnorm = math.sqrt(float(sum(a * a for a in vq)))
+        sims = [
+            float(sum(a * b for a, b in zip(vq, cq[c]))) / (vnorm * cns[c])
+            for c in range(len(cq))
+        ]
+        order = sorted(range(len(cq)), key=lambda c: (-sims[c], c))
+        out[q_id] = order[: N_PROBE]
+    return out
+
+
+def _probe_score_udf(cents: list[list[float]], qrows: dict[int, list[float]]):
+    """Fused c1-assignment + probe-membership + exact-cosine scoring: ONE
+    mapInPandas pass over the corpus replaces the former three-stage tail
+    (c1 `_assign` kernel pass → cid join materializing a candidate table
+    with full vector payloads → scoring kernel over ~1.3 GB of re-shipped
+    vectors). Per batch: the `_assign_udf` int64-matmul argmax picks each
+    vector's inverted list; the driver-side probe lists (`_probe_lists`)
+    invert to cid → querying q_ids; rows on a probed list are scored with
+    the `_seq_fold` sequential float64 cosine (bit-identical to the
+    Catalyst `_cos` fold — same guarantee as `_score_udf`). Output is the
+    skinny (q_id, c_id, raw cosine) candidate stream — ~24 B/row instead of
+    vector payloads. Self-pairs are excluded in-kernel (q_id == vec_id).
+
+    Scale shape: one pass, corpus-partitioned, no shuffle until the
+    TOP_K-per-query window over the candidate stream; all driver/closure
+    state is K×dim + nq×dim."""
+    C = np.array(_quantize_cents(cents), dtype=np.int64)  # K × dim
+    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))  # K
+    plists = _probe_lists(cents, qrows)
+    # invert: cid -> [(q_id, float64 query vector, seq-fold query norm)]
+    probers: dict[int, list] = {}
+    for q_id in sorted(plists):
+        Qrow = np.array(qrows[q_id], dtype=np.float64)
+        qn = float(np.sqrt(_seq_fold((Qrow * Qrow)[None, :])[0]))
+        for cid in plists[q_id]:
+            probers.setdefault(cid, []).append((q_id, Qrow, qn))
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vq = np.stack(pdf["vq"].to_numpy()).astype(np.int64)
+            d = (vq @ C.T).astype(np.float64)
+            vn = np.sqrt((vq * vq).sum(axis=1).astype(np.float64))
+            cid = np.argmax(d / (vn[:, None] * cn[None, :]), axis=1)
+            frames = []
+            for k, qs in probers.items():
+                mask = cid == k
+                if not mask.any():
+                    continue
+                V = np.stack(pdf["v"][mask].to_numpy())
+                ids = pdf["vec_id"][mask].to_numpy()
+                cnv = np.sqrt(_seq_fold(V * V))
+                for q_id, Qrow, qn in qs:
+                    dots = _seq_fold(Qrow[None, :] * V)
+                    cos = dots / (qn * cnv)
+                    keep = ids != q_id  # self-pair exclusion
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "q_id": np.full(int(keep.sum()), q_id, dtype=np.int64),
+                                "c_id": ids[keep],
+                                "cosine": cos[keep],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return score
+
+
+def _lloyd_partials(cents: list[list[float]]):
+    """Fused assign + partial-sum pass for the Lloyd step: one mapInPandas
+    over the quantized `vq` column that (a) assigns each vector to its
+    nearest centroid with the EXACT `_assign_udf` arithmetic — same int64
+    matmul, same float64 division, same first-max argmax — and (b)
+    scatter-adds the int64 component sums and member counts per cid,
+    emitting only K×dim rows PER PARTITION. Replaces a corpus-sized kernel
+    output + corpus×dim posexplode shuffle with dim-sized partials; int64
+    sums of floor(x·1e6) components are order-free (global sums bounded by
+    rows·1e6·max|x| ≪ 2^63), so the aggregated (cid, i, s, n) table is
+    bit-identical to the exploded-agg formulation at any parallelism.
+    Empty cids emit NO rows (callers fall back to the seed centroid), so a
+    zero count can never reach the mean's division."""
+    C = np.array(_quantize_cents(cents), dtype=np.int64)  # K × dim
+    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))  # K
+    K, dim = C.shape
+
+    def partials(it):
+        S = np.zeros((K, dim), dtype=np.int64)
+        N = np.zeros(K, dtype=np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vq = np.stack(pdf["vq"].to_numpy()).astype(np.int64)
+            d = (vq @ C.T).astype(np.float64)
+            vn = np.sqrt((vq * vq).sum(axis=1).astype(np.float64))
+            cid = np.argmax(d / (vn[:, None] * cn[None, :]), axis=1)
+            counts = np.bincount(cid, minlength=K)
+            # K masked sums beat np.add.at (unbuffered per-element fallback)
+            for k in np.flatnonzero(counts):
+                S[k] += vq[cid == k].sum(axis=0)
+            N += counts
+        nz = np.flatnonzero(N)
+        if len(nz):
+            yield pd.DataFrame(
+                {
+                    "cid": np.repeat(nz, dim).astype("int32"),
+                    "i": np.tile(np.arange(dim, dtype="int32"), len(nz)),
+                    "s": S[nz].reshape(-1),
+                    "n": np.repeat(N[nz], dim),
+                }
+            )
+
+    return partials
+
+
 def _with_vq(emb: DataFrame) -> DataFrame:
     """Attach the quantized `vq` column once if absent — callers that persist
     the corpus add it BEFORE the persist so the int32 arrays are cached and
@@ -854,26 +988,25 @@ def build_ivf(
             "centroids (contract queries short-circuit empty corpora before "
             "this point)"
         )
-    a0 = _assign(emb, c0)
     # one Lloyd step: per-dim mean of each cluster — K×dim tiny partial aggs.
     # Sums are over QUANTIZED floor(x·1e6) integers: order-free, so the
     # centroids (and therefore the whole index) are bit-identical at any
     # parallelism and across engines — IVF becomes oracle-checkable.
-    # Shape: posexplode → narrow (cid, i) agg (the oracle's own
-    # generate_subscripts form). The previous dim-wide column-per-component
-    # aggregate produced identical values but a 64-column codegen unit whose
-    # PLANNING cost (~2-4 s) dwarfed the fixture's execution; the exploded
-    # agg still combines map-side, so the shuffle stays K×dim either way.
-    # the per-(cid, i) row count IS the cluster size (every member contributes
-    # exactly one entry per component) — folding it into the same aggregate
-    # avoids a second full pass of the heavy assignment kernel that a
-    # separate groupBy(cid).count() would trigger (no common-subplan reuse).
-    # The explode reads the cached int32 `vq` column (floor already applied),
-    # so the shuffle carries 4-byte components and no per-element floor runs.
-    pos = a0.select("cid", F.posexplode("vq").alias("i", "x"))
-    sums = pos.groupBy("cid", "i").agg(
-        F.sum(F.col("x").cast("long")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
+    # Shape: ONE fused mapInPandas pass per partition that assigns c0 AND
+    # scatter-adds the integer partial sums in numpy, emitting only K×dim
+    # rows per partition (`_lloyd_partials`). This replaces the former
+    # c0-assignment kernel pass + corpus×dim posexplode shuffle (128M
+    # exploded rows at 2M×64) with the same exact arithmetic: per-row cid is
+    # the identical int64-matmul argmax as `_assign_udf`, and int64 sums of
+    # quantized components are order-free, so the final (cid, i) sums and
+    # counts match the exploded-agg formulation bit-for-bit (equivalence
+    # test pins this). The per-(cid, i) `n` is the cluster size repeated per
+    # component, summed across partitions like `s`.
+    sums = (
+        emb.select("vq")
+        .mapInPandas(_lloyd_partials(c0), schema="cid int, i int, s long, n long")
+        .groupBy("cid", "i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
     )
     comp: dict[int, dict[int, int]] = {}
     n_by_cid: dict[int, int] = {}
@@ -996,77 +1129,45 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _emb_dim(raw)
     if dim is None:  # empty corpus → empty result, contract schema
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    # single-split testdata: the Arrow assignment kernel otherwise runs in
-    # ONE task; the dim probe reads one row off the raw scan. The
-    # repartitioned corpus is tracked-persisted: the BUILD consumes it twice
-    # (seed collect + Lloyd-sum action) and the SEARCH action re-derives the
-    # index from it — without the cache each action repeats the parquet scan
-    # AND the id shuffle (MEMORY_AND_DISK: spills, never OOMs). The
-    # quantized `vq` column is attached BEFORE the persist: both
-    # corpus-sized kernel passes then ship cached int32 arrays through
-    # Arrow instead of re-derived float64 (half the transfer bytes — the
-    # measured binding cost of this query at 2M vectors).
+    # single-split testdata: the Arrow kernels otherwise run in ONE task —
+    # repartition ONLY when the source is under-split (fewer input splits
+    # than cores). No downstream op needs a particular partitioning anymore
+    # (the fused search pass replaced the cid join; the top-k window
+    # shuffles by q_id regardless), so a well-split corpus skips the full
+    # vector-payload shuffle entirely (~1.5 GB at 2M×64 — measured seconds
+    # of the cold wall). The corpus is tracked-persisted: the BUILD consumes
+    # it twice (seed collect + Lloyd pass) and the SEARCH pass reads it
+    # again (MEMORY_AND_DISK: spills, never OOMs). The quantized `vq` column
+    # is attached BEFORE the persist so every kernel pass reads cached int32
+    # arrays instead of re-deriving the floor.
     from log_anomaly_detector_spark.operators.caching import tracked_persist
 
-    emb = tracked_persist(
-        "ivf_emb",
-        _with_vq(raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")),
-    )
-    cents, index = build_ivf(emb, dim=dim)
+    par = spark.sparkContext.defaultParallelism
+    shaped = raw if raw.rdd.getNumPartitions() >= par else raw.repartition(par)
+    emb = tracked_persist("ivf_emb", _with_vq(shaped))
+    cents, _index = build_ivf(emb, dim=dim)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    # probe list per query: top-nprobe centroid ids, computed within the row
-    # (sort (−sim, cid) structs → slice) — no crossJoin, no window. The
-    # Catalyst quantized-sim formulation is fine here: N_QUERIES rows, not
-    # the corpus (the corpus-sized assignment goes through the Arrow kernel)
-    probes = (
-        q.withColumn("_sims", _centroid_sims_q(F.col("qv"), cents))
-        .select(
-            "q_id",
-            "qv",
-            F.explode(
-                F.transform(
-                    F.slice(
-                        F.array_sort(
-                            F.transform(
-                                F.col("_sims"),
-                                lambda s, i: F.struct(
-                                    (-s).alias("neg"), i.alias("cid")
-                                ),
-                            )
-                        ),
-                        1,
-                        N_PROBE,
-                    ),
-                    lambda st: st["cid"],
-                )
-            ).alias("cid"),
-        )
-    )
-    # candidate scoring is the corpus-proportional hot path (nprobe/K of the
-    # table per query): the query vectors are a driver-side constant
-    # (N_QUERIES×dim, collected from the cached corpus), so candidates ship
-    # only (q_id, vector) to the Arrow scoring kernel — the Catalyst `_cos`
-    # fold on the same rows is interpreted and was the measured wall (~34 s
-    # vs ~2 s at 2M vectors / 2 cores); outputs are bit-identical (see
-    # `_score_udf`), which the equivalence test pins.
     qrows = {r["q_id"]: list(r["qv"]) for r in q.collect()}
     if not qrows:  # corpus has no query-range ids → empty result, same schema
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    cand = probes.select("q_id", "cid").join(
-        index.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv_"), "cid"),
-        "cid",
-    ).filter(F.col("q_id") != F.col("c_id"))
+    # the whole search tail is ONE fused corpus pass (`_probe_score_udf`):
+    # c1 assignment, probe-list membership (probe lists computed driver-side
+    # with the exact Catalyst arithmetic — `_probe_lists`, equivalence
+    # tested), and the sequential-fold exact cosine, emitting the skinny
+    # (q_id, c_id, cosine) candidate stream. The former tail re-ran the
+    # assignment kernel, materialized a cid join carrying full vector
+    # payloads (~1.3 GB at 2M×64), and re-shipped those vectors to a second
+    # kernel — measured 12.7 s at local[2]; the fused pass does it in ~4 s.
+    # Values are bit-identical throughout, so the DuckDB oracle (which still
+    # expresses probes/index relationally) passes untouched.
+    scored = emb.select("vec_id", "v", "vq").mapInPandas(
+        _probe_score_udf(cents, qrows), schema="q_id long, c_id long, cosine double"
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
-        cand.select(
-            "q_id",
-            "c_id",
-            F.round(_score_udf(qrows)(F.col("q_id"), F.col("cv_")), 6).alias(
-                "cosine"
-            ),
-        )
+        scored.select("q_id", "c_id", F.round(F.col("cosine"), 6).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )

@@ -152,6 +152,97 @@ def test_score_kernel_matches_catalyst_fold_bitwise(spark):
     assert got == ref  # exact float equality, no tolerance
 
 
+def test_probe_lists_match_catalyst_formulation(spark):
+    """Driver-side probe selection (_probe_lists, pure Python on exact
+    integer dots) must pick the SAME top-N_PROBE centroid ids in the SAME
+    order as the Catalyst reference (_centroid_sims_q → array_sort(struct(
+    -sim, cid)) → slice) — the guard for q_ann_ivf's fused search pass."""
+    from pyspark.sql import functions as F
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        N_PROBE,
+        _centroid_sims_q,
+        _probe_lists,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    cents = [list(r["v"]) for r in emb.orderBy("vec_id").limit(9).collect()]
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    ref = {
+        r["q_id"]: list(r["cids"])
+        for r in q.withColumn("_sims", _centroid_sims_q(F.col("qv"), cents))
+        .select(
+            "q_id",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("_sims"),
+                            lambda s, i: F.struct((-s).alias("neg"), i.alias("cid")),
+                        )
+                    ),
+                    1,
+                    N_PROBE,
+                ),
+                lambda st: st["cid"],
+            ).alias("cids"),
+        )
+        .collect()
+    }
+    qrows = {r["q_id"]: list(r["qv"]) for r in q.collect()}
+    assert _probe_lists(cents, qrows) == ref
+
+
+def test_lloyd_partials_match_exploded_agg_bitwise(spark):
+    """The fused mapInPandas Lloyd pass (_lloyd_partials: assign +
+    scatter-add partials per partition) must produce the EXACT (cid, i, s, n)
+    table of the reference formulation (_assign kernel → posexplode →
+    groupBy agg) — int64 sums of quantized components are order-free, so
+    the equality is exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        _assign,
+        _lloyd_partials,
+        _with_vq,
+    )
+
+    emb = _with_vq(
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .limit(300)
+        .repartition(4)  # force multiple partitions → multiple partials
+    )
+    cents = [list(r["v"]) for r in emb.orderBy("vec_id").limit(6).collect()]
+    ref = {
+        (r["cid"], r["i"]): (r["s"], r["n"])
+        for r in _assign(emb, cents)
+        .select("cid", F.posexplode("vq").alias("i", "x"))
+        .groupBy("cid", "i")
+        .agg(
+            F.sum(F.col("x").cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    got = {
+        (r["cid"], r["i"]): (r["s"], r["n"])
+        for r in emb.select("vq")
+        .mapInPandas(_lloyd_partials(cents), schema="cid int, i int, s long, n long")
+        .groupBy("cid", "i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    }
+    assert got == ref
+
+
 def test_norm_and_pairdot_kernels_match_catalyst_fold_bitwise(spark):
     """_norm_udf == sqrt(_dot(v,v)) and _pair_dot_udf == _dot(va,vb) with
     EXACT float equality (sequential-fold argument, same as _score_udf) —
