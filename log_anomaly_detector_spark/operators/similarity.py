@@ -69,43 +69,10 @@ def _seq_fold(mat: "np.ndarray") -> "np.ndarray":
     return np.cumsum(mat, axis=1)[:, -1]
 
 
-def _score_udf(qrows: dict[int, list[float]]):
-    """Arrow kernel for the IVF/exact candidate-scoring hot path: RAW float64
-    cosine(query, candidate), bit-identical to the Catalyst `_cos` fold (see
-    `_seq_fold` — every partial sum rounds at the same step in the same
-    order), so swapping it in changes NO output value and the DuckDB oracle
-    stays green untouched. The Catalyst formulation is an interpreted
-    3×dim-element fold per row (higher-order functions don't codegen —
-    CLAUDE.md gotcha): measured ~34 s for 2.5M candidates × 64 dims on 2
-    cores, the dominant wall of `q_ann_ivf` at corpus scale; this kernel
-    does the same rows in ~2 s.
-
-    The query vectors ride the CLOSURE (N_QUERIES×dim driver-side constant,
-    same pattern as the centroid/hyperplane matrices), so each candidate row
-    ships only (q_id, candidate_vector) through Arrow — no per-candidate
-    query-vector duplication."""
-    qids = sorted(qrows)
-    Q = np.array([qrows[q] for q in qids], dtype=np.float64)  # nq × dim
-    qn = np.sqrt(_seq_fold(Q * Q))  # per-query ‖q‖, same sequential fold
-    idx = {q: i for i, q in enumerate(qids)}
-
-    @F.pandas_udf("double")
-    def score(qid: pd.Series, cv: pd.Series) -> pd.Series:
-        if len(cv) == 0:  # np.stack raises on empty — guard the batch shape
-            return pd.Series([], dtype="float64")
-        C = np.stack(cv.to_numpy())  # batch × dim
-        qi = qid.map(idx).to_numpy(dtype=np.int64)
-        dots = _seq_fold(Q[qi] * C)
-        cn = np.sqrt(_seq_fold(C * C))
-        return pd.Series(dots / (qn[qi] * cn))
-
-    return score
-
-
 def _norm_udf():
     """Arrow kernel for the corpus-sized norm pass: sqrt of the sequential
     sum of squares, bit-identical to Catalyst's `sqrt(_dot(v, v))` (same
-    `_seq_fold` argument as `_score_udf`). The inline fold is interpreted
+    `_seq_fold` argument). The inline fold is interpreted
     per element — a full-corpus pass at 2M×64 is 128M interpreted ops for
     what numpy does in one vectorized sweep. Factory (not module-level
     decoration): pandas_udf return-type strings parse at call time against a
@@ -152,24 +119,20 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
-    # the scoring pass is corpus × N_QUERIES rows — the Arrow kernel computes
-    # the identical sequential-fold cosine ~17× faster than the interpreted
-    # Catalyst fold (see _score_udf; bit-exact, oracle untouched). Queries
-    # are a driver-side constant, so the join degenerates to a c_id filter.
+    # ONE fused corpus pass scores every query against every vector
+    # (`_allpairs_score_udf`) — queries are a driver-side constant, and the
+    # former inequality nested-loop join shipped each corpus vector
+    # N_QUERIES× through Arrow. Sequential-fold cosine is bit-identical to
+    # the Catalyst formulation (see _seq_fold), oracle untouched.
     qrows = {r["q_id"]: list(r["qv"]) for r in q.collect()}
     if not qrows:
         return spark.createDataFrame([], _TOPK_SCHEMA)
+    scored = emb.select("vec_id", "v").mapInPandas(
+        _allpairs_score_udf(qrows), schema="q_id long, c_id long, cosine double"
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
-        q.select("q_id").join(c, F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.round(_score_udf(qrows)(F.col("q_id"), F.col("cv")), 6).alias(
-                "cosine"
-            ),
-        )
+        scored.select("q_id", "c_id", F.round(F.col("cosine"), 6).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
@@ -379,40 +342,32 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dim is None:  # empty corpus → empty result, contract schema
         return spark.createDataFrame([], _TOPK_SCHEMA)
     # query rows come straight off the scan (the vec_id predicate pushes to
-    # parquet); only the corpus-wide signature pass gets the parallelizing
-    # repartition (single-split testdata)
-    qemb = raw.filter(F.col("vec_id") < N_QUERIES)
-    emb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    # query-side buckets computed on the FILTERED rows only (N_QUERIES × L
-    # rows) and broadcast — the corpus bucket stream joins without a shuffle
-    qb = _lsh_buckets(qemb, dim).select(
-        F.col("vec_id").alias("q_id"), "tbl", "bucket"
-    )
-    cb = _lsh_buckets(emb, dim).select(
-        F.col("vec_id").alias("c_id"), "tbl", "bucket"
-    )
-    cand = (
-        cb.join(F.broadcast(qb), ["tbl", "bucket"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .dropDuplicates(["q_id", "c_id"])  # union over tables (candidate-sized)
-    )
-    # vector fetch: broadcast the BOUNDED candidate-id pairs into a corpus
-    # scan — the corpus streams, only candidate rows survive the join
-    candv = emb.join(F.broadcast(cand), emb["vec_id"] == cand["c_id"]).select(
-        "q_id", "c_id", F.col("v").alias("cv")
-    )
-    # rerank via the Arrow scoring kernel: query vectors are a driver-side
-    # constant riding the kernel closure (replaces the former qv broadcast
-    # join + interpreted per-candidate fold; bit-identical values — see
-    # _score_udf — so the DuckDB oracle is untouched)
-    qrows = {r["vec_id"]: list(r["v"]) for r in qemb.collect()}
+    # parquet) and become driver/closure state; the corpus gets the
+    # parallelizing repartition only when under-split (single-split testdata)
+    qrows = {
+        r["vec_id"]: list(r["v"])
+        for r in raw.filter(F.col("vec_id") < N_QUERIES).collect()
+    }
     if not qrows:  # no query-range ids → empty result, contract schema
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    cos = F.round(_score_udf(qrows)(F.col("q_id"), F.col("cv")), 6)
+    par = spark.sparkContext.defaultParallelism
+    emb = raw if raw.rdd.getNumPartitions() >= par else raw.repartition(par)
+    # the whole search is ONE fused corpus pass (`_lsh_probe_score_udf`):
+    # per-table buckets via the exact `_bucket_udf` matmul, membership
+    # against the driver-side query buckets, sequential-fold cosine for
+    # matches — emitting the skinny (q_id, c_id, cosine) stream. The former
+    # pipeline (corpus bucket projection → bucket join → candidate
+    # dropDuplicates → vector-fetch join → scoring kernel) shuffled
+    # candidate ids twice and re-shipped candidate vectors; here the only
+    # shuffle left is the top-k window on skinny rows, and the cross-table
+    # dedup is structural (one row per candidate, union computed in-row).
+    scored = emb.select("vec_id", "v").mapInPandas(
+        _lsh_probe_score_udf(qrows, dim, N_TABLES, PLANES_PER_TABLE),
+        schema="q_id long, c_id long, cosine double",
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
-        candv.select("q_id", "c_id", cos.alias("cosine"))
+        scored.select("q_id", "c_id", F.round(F.col("cosine"), 6).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
@@ -849,7 +804,7 @@ def _probe_score_udf(cents: list[list[float]], qrows: dict[int, list[float]]):
     vector's inverted list; the driver-side probe lists (`_probe_lists`)
     invert to cid → querying q_ids; rows on a probed list are scored with
     the `_seq_fold` sequential float64 cosine (bit-identical to the
-    Catalyst `_cos` fold — same guarantee as `_score_udf`). Output is the
+    Catalyst `_cos` fold — same guarantee as every `_seq_fold` kernel). Output is the
     skinny (q_id, c_id, raw cosine) candidate stream — ~24 B/row instead of
     vector payloads. Self-pairs are excluded in-kernel (q_id == vec_id).
 
@@ -871,7 +826,11 @@ def _probe_score_udf(cents: list[list[float]], qrows: dict[int, list[float]]):
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            vq = np.stack(pdf["vq"].to_numpy()).astype(np.int64)
+            Vall = np.stack(pdf["v"].to_numpy())
+            # quantize in-kernel (identical IEEE floor — `_vq_col`): the
+            # kernel needs float64 vectors anyway, so shipping a vq column
+            # would only add Arrow bytes
+            vq = np.floor(Vall * 1e6).astype(np.int64)
             d = (vq @ C.T).astype(np.float64)
             vn = np.sqrt((vq * vq).sum(axis=1).astype(np.float64))
             cid = np.argmax(d / (vn[:, None] * cn[None, :]), axis=1)
@@ -880,7 +839,7 @@ def _probe_score_udf(cents: list[list[float]], qrows: dict[int, list[float]]):
                 mask = cid == k
                 if not mask.any():
                     continue
-                V = np.stack(pdf["v"][mask].to_numpy())
+                V = Vall[mask]
                 ids = pdf["vec_id"][mask].to_numpy()
                 cnv = np.sqrt(_seq_fold(V * V))
                 for q_id, Qrow, qn in qs:
@@ -902,9 +861,140 @@ def _probe_score_udf(cents: list[list[float]], qrows: dict[int, list[float]]):
     return score
 
 
+def _allpairs_score_udf(qrows: dict[int, list[float]]):
+    """Fused brute-force scoring: ONE mapInPandas pass over (vec_id, v)
+    emitting (q_id, c_id, cosine) for EVERY query in the closure — replaces
+    the inequality nested-loop join that shipped each corpus vector once
+    PER QUERY through Arrow (N_QUERIES× the bytes). Same `_seq_fold`
+    bit-exactness as the other `_seq_fold` kernels; self-pairs excluded in-kernel."""
+    qids = sorted(qrows)
+    Q = np.array([qrows[q] for q in qids], dtype=np.float64)  # nq × dim
+    qn = np.sqrt(_seq_fold(Q * Q))
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            cnv = np.sqrt(_seq_fold(V * V))
+            frames = []
+            for j, q_id in enumerate(qids):
+                dots = _seq_fold(Q[j][None, :] * V)
+                cos = dots / (qn[j] * cnv)
+                keep = ids != q_id
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(int(keep.sum()), q_id, dtype=np.int64),
+                            "c_id": ids[keep],
+                            "cosine": cos[keep],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return score
+
+
+def _query_buckets(
+    qrows: dict[int, list[float]], dim: int, n_tables: int, planes: int
+) -> dict[int, list[int]]:
+    """Per-query LSH bucket ids computed DRIVER-side with the exact
+    `_bucket_udf` arithmetic (floor(x·1e6) int64 @ signs > 0 bits packed by
+    powers of two — integer ops, order-free, bit-identical everywhere).
+    Query vectors are driver constants, so there is no reason to round-trip
+    them through a plan; equivalence test pins parity with `_lsh_buckets`."""
+    signs = (
+        np.array(_plane_signs(n_tables, planes, dim), dtype=np.int64)
+        .reshape(n_tables * planes, dim)
+        .T
+    )
+    pw = 2 ** np.arange(planes, dtype=np.int64)
+    out: dict[int, list[int]] = {}
+    for q_id, qv in qrows.items():
+        vq = np.floor(np.array(qv, dtype=np.float64) * 1e6).astype(np.int64)
+        bits = (vq @ signs > 0).reshape(n_tables, planes)
+        out[q_id] = [int(x) for x in (bits * pw).sum(axis=1)]
+    return out
+
+
+def _lsh_probe_score_udf(
+    qrows: dict[int, list[float]], dim: int, n_tables: int, planes: int
+):
+    """Fused LSH search: ONE mapInPandas pass over (vec_id, v) that
+    (a) computes each corpus vector's per-table buckets with the exact
+    `_bucket_udf` matmul, (b) tests membership against the driver-side
+    query buckets (`_query_buckets` — N_QUERIES×L closure state), and
+    (c) scores matching (query, candidate) pairs with the `_seq_fold`
+    sequential-fold cosine, emitting the skinny (q_id, c_id, cosine)
+    stream. Replaces the corpus bucket projection + bucket join + candidate
+    dropDuplicates + vector-fetch join + scoring kernel — and the
+    cross-table DEDUP becomes structural: a candidate's row lives in
+    exactly one batch, so the per-row union over tables (computed with one
+    in-kernel any()) can never produce the same pair twice. Self-pairs
+    excluded in-kernel.
+
+    Scale shape: zero shuffles until the top-k window on skinny rows; the
+    closure holds O(nq·L) ints + nq×dim query floats."""
+    signs = (
+        np.array(_plane_signs(n_tables, planes, dim), dtype=np.int64)
+        .reshape(n_tables * planes, dim)
+        .T
+    )
+    pw = 2 ** np.arange(planes, dtype=np.int64)
+    qb = _query_buckets(qrows, dim, n_tables, planes)
+    qids = sorted(qrows)
+    Q = np.array([qrows[q] for q in qids], dtype=np.float64)
+    qn = np.sqrt(_seq_fold(Q * Q))
+    # per query: L-vector of its table buckets, for vectorized comparison
+    QB = np.array([qb[q] for q in qids], dtype=np.int64)  # nq × L
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            # quantize in-kernel: np.floor(x·1e6) is the identical IEEE
+            # multiply+floor the JVM applies (`_vq_col`), and the kernel
+            # needs the float64 vectors anyway — shipping a vq column would
+            # add 256 B/row of Arrow transfer plus an interpreted JVM floor
+            vq = np.floor(V * 1e6).astype(np.int64)
+            bits = (vq @ signs > 0).reshape(-1, n_tables, planes)
+            B = (bits * pw).sum(axis=2)  # batch × L corpus buckets
+            ids = pdf["vec_id"].to_numpy()
+            cnv = None  # computed lazily — many batches have no candidates
+            frames = []
+            for j, q_id in enumerate(qids):
+                # candidate ⟺ any table's bucket matches (union over tables)
+                mask = (B == QB[j][None, :]).any(axis=1) & (ids != q_id)
+                if not mask.any():
+                    continue
+                if cnv is None:
+                    cnv = np.sqrt(_seq_fold(V * V))
+                Vm = V[mask]
+                dots = _seq_fold(Q[j][None, :] * Vm)
+                cos = dots / (qn[j] * cnv[mask])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(int(mask.sum()), q_id, dtype=np.int64),
+                            "c_id": ids[mask],
+                            "cosine": cos,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return score
+
+
 def _lloyd_partials(cents: list[list[float]]):
     """Fused assign + partial-sum pass for the Lloyd step: one mapInPandas
-    over the quantized `vq` column that (a) assigns each vector to its
+    over the float64 `v` column (quantized in-kernel with the identical
+    IEEE floor — `_vq_col` docstring) that (a) assigns each vector to its
     nearest centroid with the EXACT `_assign_udf` arithmetic — same int64
     matmul, same float64 division, same first-max argmax — and (b)
     scatter-adds the int64 component sums and member counts per cid,
@@ -925,7 +1015,8 @@ def _lloyd_partials(cents: list[list[float]]):
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            vq = np.stack(pdf["vq"].to_numpy()).astype(np.int64)
+            # in-kernel quantization (identical IEEE floor — `_vq_col`)
+            vq = np.floor(np.stack(pdf["v"].to_numpy()) * 1e6).astype(np.int64)
             d = (vq @ C.T).astype(np.float64)
             vn = np.sqrt((vq * vq).sum(axis=1).astype(np.float64))
             cid = np.argmax(d / (vn[:, None] * cn[None, :]), axis=1)
@@ -972,7 +1063,6 @@ def build_ivf(
     set (and therefore the whole index) oracle-checkable. The global
     orderBy+limit plans as TakeOrdered (per-task top-K, K×dim driver data)."""
     dim = dim if dim is not None else _emb_dim(emb)
-    emb = _with_vq(emb)
     seeds = (
         emb.filter(F.col("v").isNotNull())
         .select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h"))
@@ -1001,9 +1091,11 @@ def build_ivf(
     # quantized components are order-free, so the final (cid, i) sums and
     # counts match the exploded-agg formulation bit-for-bit (equivalence
     # test pins this). The per-(cid, i) `n` is the cluster size repeated per
-    # component, summed across partitions like `s`.
+    # component, summed across partitions like `s`. Quantization happens
+    # IN-KERNEL from the float64 vectors (identical IEEE floor — `_vq_col`
+    # docstring), so no interpreted JVM floor runs and no extra column ships.
     sums = (
-        emb.select("vq")
+        emb.select("v")
         .mapInPandas(_lloyd_partials(c0), schema="cid int, i int, s long, n long")
         .groupBy("cid", "i")
         .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
@@ -1022,7 +1114,7 @@ def build_ivf(
         else c0[c]
         for c in range(len(c0))
     ]
-    return c1, _assign(emb, c1)
+    return c1, _assign(_with_vq(emb), c1)
 
 
 _IVF_COS = (
@@ -1137,14 +1229,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector-payload shuffle entirely (~1.5 GB at 2M×64 — measured seconds
     # of the cold wall). The corpus is tracked-persisted: the BUILD consumes
     # it twice (seed collect + Lloyd pass) and the SEARCH pass reads it
-    # again (MEMORY_AND_DISK: spills, never OOMs). The quantized `vq` column
-    # is attached BEFORE the persist so every kernel pass reads cached int32
-    # arrays instead of re-deriving the floor.
+    # again (MEMORY_AND_DISK: spills, never OOMs). Quantization happens
+    # inside each kernel (numpy floor, identical IEEE — `_vq_col`), so the
+    # cache holds only (vec_id, v) and no interpreted JVM floor ever runs.
     from log_anomaly_detector_spark.operators.caching import tracked_persist
 
     par = spark.sparkContext.defaultParallelism
     shaped = raw if raw.rdd.getNumPartitions() >= par else raw.repartition(par)
-    emb = tracked_persist("ivf_emb", _with_vq(shaped))
+    emb = tracked_persist("ivf_emb", shaped)
     cents, _index = build_ivf(emb, dim=dim)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -1162,7 +1254,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kernel — measured 12.7 s at local[2]; the fused pass does it in ~4 s.
     # Values are bit-identical throughout, so the DuckDB oracle (which still
     # expresses probes/index relationally) passes untouched.
-    scored = emb.select("vec_id", "v", "vq").mapInPandas(
+    scored = emb.select("vec_id", "v").mapInPandas(
         _probe_score_udf(cents, qrows), schema="q_id long, c_id long, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))

@@ -109,18 +109,18 @@ def test_bucket_kernel_matches_catalyst_reference(spark):
         assert got == ref, (n_tables, planes)
 
 
-def test_score_kernel_matches_catalyst_fold_bitwise(spark):
-    """The Arrow scoring kernel (_score_udf) must equal the Catalyst _cos
-    fold EXACTLY — not approximately: np.cumsum's sequential accumulation
-    reproduces aggregate(zip_with(...), 0.0, +)'s per-step float64 rounding,
-    so raw (unrounded) cosines are required to be bit-identical. This is the
-    guard that lets q_ann_ivf / q_cosine_topk swap the interpreted fold for
-    the kernel without touching the DuckDB oracles."""
+def test_allpairs_score_kernel_matches_catalyst_fold_bitwise(spark):
+    """The fused brute-force scoring kernel (_allpairs_score_udf) must equal
+    the Catalyst _cos fold EXACTLY — not approximately: np.cumsum's
+    sequential accumulation reproduces aggregate(zip_with(...), 0.0, +)'s
+    per-step float64 rounding, so raw (unrounded) cosines are required to be
+    bit-identical. This is the guard that lets the similarity queries swap
+    the interpreted fold for kernels without touching the DuckDB oracles."""
     from pyspark.sql import functions as F
 
     from log_anomaly_detector_spark.operators.similarity import (
+        _allpairs_score_udf,
         _cos,
-        _score_udf,
     )
 
     emb = (
@@ -142,14 +142,41 @@ def test_score_kernel_matches_catalyst_fold_bitwise(spark):
         ).collect()
     }
     got = {
-        (r["q_id"], r["c_id"]): r["cos"]
-        for r in pairs.select(
-            "q_id",
-            "c_id",
-            _score_udf(qrows)(F.col("q_id"), F.col("cv")).alias("cos"),
-        ).collect()
+        (r["q_id"], r["c_id"]): r["cosine"]
+        for r in emb.repartition(3)
+        .select("vec_id", "v")
+        .mapInPandas(
+            _allpairs_score_udf(qrows), schema="q_id long, c_id long, cosine double"
+        )
+        .collect()
     }
     assert got == ref  # exact float equality, no tolerance
+
+
+def test_query_buckets_match_lsh_buckets(spark):
+    """Driver-side query bucketing (_query_buckets, pure numpy) must equal
+    the _lsh_buckets plan (Arrow bucket kernel over the JVM-quantized vq)
+    per (table, bucket) — the guard for q_ann_lsh's fused search pass."""
+    from pyspark.sql import functions as F
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        N_TABLES,
+        PLANES_PER_TABLE,
+        _lsh_buckets,
+        _query_buckets,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .filter(F.col("vec_id") < 5)
+    )
+    ref: dict[int, list[int]] = {}
+    for r in _lsh_buckets(emb, 64).collect():
+        ref.setdefault(r["vec_id"], [0] * N_TABLES)[r["tbl"]] = r["bucket"]
+    qrows = {r["vec_id"]: list(r["v"]) for r in emb.collect()}
+    assert _query_buckets(qrows, 64, N_TABLES, PLANES_PER_TABLE) == ref
 
 
 def test_probe_lists_match_catalyst_formulation(spark):
@@ -234,7 +261,7 @@ def test_lloyd_partials_match_exploded_agg_bitwise(spark):
     }
     got = {
         (r["cid"], r["i"]): (r["s"], r["n"])
-        for r in emb.select("vq")
+        for r in emb.select("v")
         .mapInPandas(_lloyd_partials(cents), schema="cid int, i int, s long, n long")
         .groupBy("cid", "i")
         .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
