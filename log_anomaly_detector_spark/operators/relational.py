@@ -783,7 +783,19 @@ def q_to_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = top.withColumn(
         "token_id", (F.row_number().over(wv) + F.lit(4)).cast("int")
     )
-    mapped = words.join(F.broadcast(vocab.select("word", "token_id")), "word", "left")
+    # only the first SEQ_LEN-1 positions can survive the truncation, so the
+    # id-mapping join explodes a SLICED array (bounded rows per doc) instead
+    # of every word — the full explode above exists solely for the global
+    # vocab counts. The raw token count rides along as size(split(...)),
+    # which is what size(collect_list(...)) computed the long way before.
+    short = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_raw"),
+        F.posexplode(
+            F.slice(F.split(F.col("text"), " "), 1, SEQ_LEN - 1)
+        ).alias("pos", "word"),
+    )
+    mapped = short.join(F.broadcast(vocab.select("word", "token_id")), "word", "left")
     ids = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
         lambda x: F.coalesce(x["token_id"], F.lit(1)),  # <unk>=1
@@ -794,7 +806,7 @@ def q_to_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mapped.groupBy("doc_id").agg(
         F.array_join(padded, " ").alias("token_seq"),
-        F.size(ids).alias("n_raw_tokens"),
+        F.first("n_raw").alias("n_raw_tokens"),
     )
 
 

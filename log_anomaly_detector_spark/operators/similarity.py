@@ -379,12 +379,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_pricing_summary note). ---------------------------------------------------
 def q_embedding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
+    # slice BEFORE exploding: the former posexplode-then-filter generated
+    # corpus×dim rows and kept corpus×8 (generators can't take pushed
+    # predicates) — slicing explodes only the 8 kept components. The agg
+    # still combines map-side, so the shuffle is (labels×8) partials.
     comp = emb.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+        "label",
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+        ).alias("dim", "x"),
     )
     return (
-        comp.filter(F.col("dim") < 8)  # first 8 dims keep the output compact
-        .groupBy("label", "dim")
+        comp.groupBy("label", "dim")
         .agg(
             F.round(
                 F.sum(F.floor(F.col("x") * 1e6)) / 1e6 / F.count(F.lit(1)), 6
