@@ -459,13 +459,26 @@ WHERE n_chars >= 200 AND lang IN ('en','de') AND source IN ('src0','src1','src2'
 
 # --- W1/D7: fixed-size sequence chunking (sample.py:21-55 fixed_window) ------
 def q_fixed_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positions from split() are dense 0..n-1, so per-chunk counts are pure
+    arithmetic: chunk i of a doc with n words holds min(32, n - 32*i). The
+    plan explodes one row per CHUNK (n/32 rows, never one per word) and has
+    NO aggregation — a narrow map over the scan, zero shuffle at any scale.
+    NULL text: size→NULL→sequence→NULL→explode drops the row, matching the
+    word-explode shape the null sweep pins."""
     docs = t(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
-    )
-    return (
-        words.groupBy("doc_id", F.floor(F.col("pos") / 32).cast("int").alias("chunk_id"))
-        .agg(F.count(F.lit(1)).alias("n_words"))
+    n = F.size(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        n.alias("_n"),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(32)).cast("int"))
+        ).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id"),
+        F.least(F.lit(32), F.col("_n") - F.col("chunk_id") * F.lit(32))
+        .cast("bigint")
+        .alias("n_words"),
     )
 
 
