@@ -439,12 +439,142 @@ ND_TABLES = 24
 ND_PLANES = 2
 
 
+# buckets/table = 2^planes: at ≥ 8 planes (≥ 256 buckets) the per-bucket
+# membership is a bounded slice of the corpus and the GROUPED verify (one
+# kernel pass over memberships, O(corpus·tables) Arrow bytes) beats the
+# pair-stream verify (O(candidate-pairs) bytes — measured 15 GB / 117 s for
+# the 14.6M pairs the production regime emits at 100k vectors, vs 0.5 GB
+# grouped). Below that (the contract fixture's 4-buckets-per-table regime)
+# a single bucket holds a quarter of the corpus — a grouped kernel would be
+# one giant skewed task, so the distributed pair stream stays the right shape.
+_GROUPED_VERIFY_MIN_PLANES = 8
+# in-kernel pair-block budget: bounds eq/prod scratch to ~128 MB worst-case
+_PAIR_BLOCK = 1 << 18
+
+
+def _grouped_verify_udf(
+    dim: int, n_tables: int, threshold: float, pair_block: int = _PAIR_BLOCK
+):
+    """mapInPandas kernel over (tbl, ids, vflat, sigflat) bucket-group rows:
+    emits every first-hit candidate pair of the group with its RAW cosine.
+
+    Bit-exactness (same `_seq_fold` argument as `_norm_udf`/`_pair_dot_udf`):
+    norms are sqrt(cumsum(C·C))'s sequential fold, pair dots the sequential
+    fold of the elementwise product (commutative, so min/max id order cannot
+    change a bit), and the cosine is dot/(na·nb) — the identical IEEE ops the
+    pair-stream path evaluates, so both strategies produce byte-equal rows
+    (pinned by tests/test_similarity.py grouped-vs-pairs equivalence).
+
+    First-collision dedup moves IN-kernel: group (tbl, bucket) emits pair
+    (i, j) iff tbl is the FIRST table where their full signatures agree —
+    exactly-once across groups, no distinct shuffle, same rule as the
+    pair-stream paths. The kernel prefilters at raw cosine ≥ threshold−1e−6
+    (any value that could round up to the 6dp threshold survives; the exact
+    half-up round + compare happens JVM-side), so the Arrow return stream is
+    result-sized, not candidate-sized."""
+    slack = threshold - 1e-6
+
+    def kernel(batches):
+        for pdf in batches:
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+            for tbl, ids, vflat, sigflat in zip(
+                pdf["tbl"], pdf["ids"], pdf["vflat"], pdf["sigflat"]
+            ):
+                g = len(ids)
+                if g < 2:
+                    continue
+                ids = np.asarray(ids, dtype=np.int64)
+                C = np.asarray(vflat, dtype=np.float64).reshape(g, dim)
+                S = np.asarray(sigflat, dtype=np.int64).reshape(g, n_tables)
+                norms = np.sqrt(_seq_fold(C * C))
+                # i<j index pairs in blocks of ≤ _PAIR_BLOCK (bounds scratch)
+                i = 0
+                while i < g - 1:
+                    rows = [i]
+                    budget = g - 1 - i
+                    while budget < pair_block and rows[-1] + 1 < g - 1:
+                        rows.append(rows[-1] + 1)
+                        budget += g - 1 - rows[-1]
+                    ii = np.repeat(
+                        np.array(rows, dtype=np.int64),
+                        [g - 1 - r for r in rows],
+                    )
+                    jj = np.concatenate(
+                        [np.arange(r + 1, g, dtype=np.int64) for r in rows]
+                    )
+                    i = rows[-1] + 1
+                    # first table where the signatures agree == this group's
+                    # table ⟺ this group owns the pair (argmax finds the
+                    # first True; membership guarantees S[·, tbl] matches)
+                    first = np.argmax(S[ii] == S[jj], axis=1)
+                    m = first == tbl
+                    if not m.any():
+                        continue
+                    ia, ja = ii[m], jj[m]
+                    dots = _seq_fold(C[ia] * C[ja])
+                    cos = dots / (norms[ia] * norms[ja])
+                    keep = cos >= slack
+                    if not keep.any():
+                        continue
+                    ia, ja, cos = ia[keep], ja[keep], cos[keep]
+                    out_a.append(np.minimum(ids[ia], ids[ja]))
+                    out_b.append(np.maximum(ids[ia], ids[ja]))
+                    out_c.append(cos)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    return kernel
+
+
+def _grouped_near_dup(
+    emb: DataFrame, threshold: float, n_tables: int, planes: int, dim: int
+) -> DataFrame:
+    """Grouped-bucket near-dup verify (the ≥ `_GROUPED_VERIFY_MIN_PLANES`
+    pruning-regime strategy): ONE membership shuffle keyed by (tbl, bucket),
+    group members folded into parallel flat arrays JVM-side, then a single
+    Arrow kernel computes norms, first-hit dedup, and sequential-fold cosines
+    per bucket. No pair-sized stream ever exists — Arrow traffic is
+    O(corpus·tables) for the memberships plus O(result) back, and the plan
+    needs no persists (every table is read once)."""
+    udf = _bucket_udf(dim, n_tables, planes)
+    memb = emb.select(
+        "vec_id", "v", udf(_vq_col(F.col("v"))).alias("sig")
+    ).select("vec_id", "v", "sig", F.posexplode("sig").alias("tbl", "bucket"))
+    grouped = (
+        memb.groupBy("tbl", "bucket")
+        .agg(F.collect_list(F.struct("vec_id", "v", "sig")).alias("m"))
+        .select(
+            "tbl",
+            F.transform("m", lambda s: s["vec_id"]).alias("ids"),
+            F.flatten(F.transform("m", lambda s: s["v"])).alias("vflat"),
+            F.flatten(F.transform("m", lambda s: s["sig"])).alias("sigflat"),
+        )
+    )
+    raw = grouped.mapInPandas(
+        _grouped_verify_udf(dim, n_tables, threshold),
+        schema="id_a long, id_b long, cosine double",
+    )
+    # identical 6dp half-up round + compare as the pair-stream verify
+    return raw.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = ND_THRESHOLD,
     n_tables: int = ND_TABLES,
     planes: int = ND_PLANES,
     dim: int | None = None,
+    verify: str = "auto",
 ) -> DataFrame:
     """All (id_a < id_b, cosine) pairs with cosine ≥ threshold over
     ``emb(vec_id, v array<double>)`` — LSH-bucket candidates + exact verify.
@@ -458,9 +588,21 @@ def embedding_near_dup_pairs(
     modest (miss/table = 1-(1-θ/π)^p, tables chosen so miss^L is
     negligible).
 
-    Pair dedup is map-side via first-colliding-table signatures, picked by
-    config width: ≤62 signature bits → ONE packed long + SWAR group check;
-    wider (many-plane) configs carry the bucket array and walk it with
+    Verify strategy (``verify``: "auto" | "grouped" | "pairs"): at ≥ 8
+    planes/table (the pruning regime — buckets are bounded corpus slices)
+    "auto" picks the GROUPED kernel: one membership shuffle, norms +
+    first-hit dedup + sequential-fold cosines computed per bucket in a
+    single Arrow pass — O(corpus·tables) kernel traffic instead of the
+    pair-stream's O(candidate-pairs) (measured 15 GB / 117 s vs 0.5 GB for
+    the production regime's 14.6M candidates at 100k vectors). Low-plane
+    configs (the contract fixture: 2 planes ⇒ 4 corpus-quarter buckets)
+    keep the distributed pair stream — there a bucket group would be one
+    giant skewed task. Both strategies emit byte-identical rows
+    (equivalence-tested).
+
+    Pair-stream dedup is map-side via first-colliding-table signatures,
+    picked by config width: ≤62 signature bits → ONE packed long + SWAR
+    group check; wider configs carry the bucket array and walk it with
     zip_with — same exactly-once semantics, no dropDuplicates shuffle in
     either path. Vector fetch is hint-free keyed joins (AQE may broadcast at
     small scale; shuffles, never OOMs, at 10^12 vectors).
@@ -475,6 +617,12 @@ def embedding_near_dup_pairs(
             "known dim, or short-circuit empty corpora upstream (the "
             "contract query does)"
         )
+    if verify not in ("auto", "grouped", "pairs"):
+        raise ValueError(f"unknown verify strategy {verify!r}")
+    if verify == "auto":
+        verify = "grouped" if planes >= _GROUPED_VERIFY_MIN_PLANES else "pairs"
+    if verify == "grouped":
+        return _grouped_near_dup(emb, threshold, n_tables, planes, dim)
     from log_anomaly_detector_spark.operators.caching import tracked_persist
 
     udf = _bucket_udf(dim, n_tables, planes)

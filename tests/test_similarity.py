@@ -509,11 +509,12 @@ def test_embedding_near_dup_production_regime(spark, tmp_path):
 
 
 def test_near_dup_regimes_do_not_thrash_persist_slots(spark):
-    """The contract (24×2) and production (8×12) regimes key their
-    signature-table persists BY REGIME: interleaving them in one session
-    must leave BOTH caches live (a shared key would unpersist the other
-    regime's cache on every alternation, silently reintroducing the
-    double-computed Arrow kernel the persist exists to avoid)."""
+    """The contract (24×2) regime keys its signature-table persist BY REGIME
+    (a shared key would be thrashed by any other pair-stream
+    parameterization in the session); the production (8×12) regime runs the
+    GROUPED verify, which reads every table exactly once and must therefore
+    register NO persist at all — a grouped-path cache would hold corpus-
+    sized vector payloads hostage for a single-pass plan."""
     from log_anomaly_detector_spark.operators.caching import _LIVE, release_all
     from log_anomaly_detector_spark.operators.similarity import (
         q_embedding_near_dup,
@@ -524,8 +525,100 @@ def test_near_dup_regimes_do_not_thrash_persist_slots(spark):
     q_embedding_near_dup(spark, SF).collect()
     q_embedding_near_dup_production(spark, SF).collect()
     live = set(_LIVE)
-    assert {"embnd_skinny_24x2", "embnd_skinny_8x12"} <= live, live
+    assert "embnd_skinny_24x2" in live, live
+    assert not any(k.startswith("embnd_skinny_8x12") for k in live), live
     release_all()
+
+
+def test_grouped_verify_matches_pair_stream_bitwise(spark):
+    """The grouped bucket verify and the pair-stream verify are two physical
+    strategies for ONE logical operator: on a corpus with planted duplicate
+    clusters they must emit the SAME rows with byte-equal cosines (the
+    sequential-fold kernels make both sides bit-deterministic, so this is
+    exact tuple equality, never a tolerance). Covers the packed (≤62-bit),
+    wide (>62-bit), and grouped code paths against each other."""
+    import numpy as np
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = {i: base[i] for i in range(60)}
+    for k in range(8):  # planted clusters: two near-copies of each of 0..7
+        for rep in (1, 2):
+            w = base[k] + rng.normal(scale=0.01, size=64)
+            vecs[100 * rep + k] = w / np.linalg.norm(w)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, v array<double>",
+    ).repartition(5)
+    #          wide+grouped      packed+grouped    many-table grouped
+    for nt, pl, tau in ((8, 12, 0.85), (4, 8, 0.15), (16, 9, 0.5)):
+        a = sorted(
+            map(
+                tuple,
+                embedding_near_dup_pairs(
+                    df, tau, nt, pl, verify="pairs"
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                embedding_near_dup_pairs(
+                    df, tau, nt, pl, verify="grouped"
+                ).collect(),
+            )
+        )
+        assert a == b, (nt, pl, tau, a[:5], b[:5])
+        if tau <= 0.15:  # the low-τ config must actually emit pairs
+            assert len(a) > 20, len(a)
+
+
+def test_grouped_verify_kernel_chunking_is_invariant():
+    """Pure-Python kernel unit test (no Spark): splitting the i<j pair
+    enumeration into tiny blocks must not change a single emitted row —
+    the block loop only bounds scratch memory. Also pins first-hit
+    exactly-once across tables: with every vector sharing one bucket in
+    BOTH tables, table 0 owns every pair and table 1 none."""
+    import numpy as np
+    import pandas as pd
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        _grouped_verify_udf,
+    )
+
+    rng = np.random.default_rng(3)
+    g, dim, n_tables = 40, 16, 2
+    C = rng.normal(size=(g, dim))
+    ids = np.arange(1000, 1000 + g, dtype=np.int64)
+    sig = np.zeros((g, n_tables), dtype=np.int64)  # all-collide, both tables
+
+    def run(tbl, block):
+        pdf = pd.DataFrame(
+            {
+                "tbl": [tbl],
+                "ids": [ids],
+                "vflat": [C.reshape(-1)],
+                "sigflat": [sig.reshape(-1)],
+            }
+        )
+        k = _grouped_verify_udf(dim, n_tables, -2.0, pair_block=block)
+        out = list(k(iter([pdf])))
+        return (
+            pd.concat(out).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            if out
+            else pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        )
+
+    full = run(0, 1 << 18)
+    tiny = run(0, 3)
+    assert len(full) == g * (g - 1) // 2
+    pd.testing.assert_frame_equal(full, tiny)  # byte-equal, incl. cosines
+    assert len(run(1, 1 << 18)) == 0  # table 1 owns no first hits
 
 
 def test_similarity_oracle_parity_with_null_vectors(spark, tmp_path):
