@@ -621,6 +621,85 @@ def test_grouped_verify_kernel_chunking_is_invariant():
     assert len(run(1, 1 << 18)) == 0  # table 1 owns no first hits
 
 
+def test_grouped_verify_prefilter_fallback_and_boundary():
+    """Pure-Python kernel unit tests for the quantized-matmul PREFILTER:
+
+    (a) components outside the int64-exactness envelope (|floor(x·1e6)| >
+    sqrt(2^53/dim)·0.9) must disable the prefilter for that bucket and fall
+    back to scoring every i<j pair — output must equal a brute-force
+    reimplementation of the kernel's exact ops (seq-fold norms/dots);
+
+    (b) pairs whose exact cosine sits EXACTLY at the emit boundary
+    (identical vectors, threshold 1.0 ⇒ cosine 1.0 ≥ slack) must survive
+    the prefilter — the rigorous error bound may only ADD candidates,
+    never drop a true one."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from log_anomaly_detector_spark.operators.similarity import (
+        _grouped_verify_udf,
+        _seq_fold,
+    )
+
+    def run_kernel(C, threshold, dim, n_tables=1):
+        g = len(C)
+        pdf = pd.DataFrame(
+            {
+                "tbl": [0],
+                "ids": [np.arange(g, dtype=np.int64)],
+                "vflat": [C.reshape(-1)],
+                "sigflat": [np.zeros(g * n_tables, dtype=np.int64)],
+            }
+        )
+        out = list(_grouped_verify_udf(dim, n_tables, threshold)(iter([pdf])))
+        return (
+            pd.concat(out).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            if out
+            else pd.DataFrame(
+                {
+                    "id_a": np.array([], dtype=np.int64),
+                    "id_b": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        )
+
+    def brute(C, threshold, dim):
+        g = len(C)
+        norms = np.sqrt(_seq_fold(C * C))
+        rows = []
+        for i in range(g - 1):
+            for j in range(i + 1, g):
+                cos = _seq_fold((C[i] * C[j])[None, :])[0] / (norms[i] * norms[j])
+                if cos >= threshold - 1e-6:
+                    rows.append((i, j, cos))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]).astype(
+            {"id_a": np.int64, "id_b": np.int64}
+        )
+
+    # (a) big components — prefilter must be OFF for this bucket; output
+    # still exact. Scale chosen so |vq| clearly exceeds the envelope.
+    rng = np.random.default_rng(7)
+    dim = 16
+    C = rng.normal(scale=100.0, size=(30, dim))
+    assert np.abs(np.floor(C * 1e6)).max() > math.sqrt(2.0**53 / dim) * 0.9
+    got = run_kernel(C, 0.3, dim)
+    pd.testing.assert_frame_equal(got, brute(C, 0.3, dim))
+    assert len(got) > 0  # the fixture must actually exercise emission
+
+    # (b) threshold-1.0 boundary: 4 identical unit-ish vectors among noise —
+    # all 6 identical pairs (cosine exactly 1.0) must be emitted.
+    base = rng.uniform(-1.0, 1.0, size=dim)
+    noise = rng.uniform(-1.0, 1.0, size=(20, dim))
+    C2 = np.vstack([np.tile(base, (4, 1)), noise])
+    got2 = run_kernel(C2, 1.0, dim)
+    ident = got2[(got2.id_a < 4) & (got2.id_b < 4)]
+    assert len(ident) == 6 and (ident.cosine == 1.0).all()
+    pd.testing.assert_frame_equal(got2, brute(C2, 1.0, dim))
+
+
 def test_similarity_oracle_parity_with_null_vectors(spark, tmp_path):
     """Both engines must pin the SAME null-vector semantics: the oracle SQLs
     carry `WHERE embedding IS NOT NULL` mirroring the Spark-side filter, so a
