@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "pack_sequences",
     "source_mix",
+    # round 6 additions
+    "repetition_filter",
+    "decontaminate",
 ]
 
 ENGINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))

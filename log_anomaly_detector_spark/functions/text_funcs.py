@@ -32,3 +32,29 @@ def fingerprint(text: Column) -> Column:
 def stopword_count(ws: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     """# of stopword tokens — array higher-order filter, JVM-side."""
     return F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
+
+
+def word_ngrams(ws: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams over a token array — empty when
+    the doc has fewer than ``n`` words (CaseWhen is lazy per-row, so the
+    sequence/element_at branch never evaluates on short or NULL docs — under
+    ANSI mode an unguarded ``sequence(1, size-k)`` on a 1-word doc would step
+    DOWNWARD through index 0 and error). Pure JVM, per-row bounded: the
+    shapes built on this shuffle n-gram/doc_id rows, never document text.
+
+    CALLER CONTRACT: pass ``ws`` as a PROJECTED column (``.select(split(...)
+    .alias("_ws"))`` first), never an inline ``words(text)`` expression —
+    higher-order-function lambdas are interpreted and re-evaluate their
+    argument expression at EVERY element reference, so an inlined split runs
+    n× per gram position (measured 15.1s vs 0.51s per sf0.1 corpus pass).
+    The projected alias is safe structurally: CollapseProject refuses to
+    re-inline an alias referenced more than once."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + k) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -18,9 +18,10 @@ from log_anomaly_detector_spark.functions.text_funcs import (
     fingerprint,
     normalized,
     stopword_count,
+    word_ngrams,
     words,
 )
-from log_anomaly_detector_spark.operators.relational import t
+from log_anomaly_detector_spark.operators.relational import _hash_bucket, t
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
 
@@ -152,6 +153,163 @@ FROM (
   FROM documents
 )
 GROUP BY prefix_fp HAVING count(*) > 1
+"""
+
+
+# --- intra-document repetition filter (Gopher-style quality signal) ----------
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics in the Gopher family (Rae et al. 2021,
+    "Scaling Language Models", Table A1 repetition filters): the fraction of
+    3-gram POSITIONS occupied by repeated 3-grams and the share taken by the
+    single most frequent 3-gram, plus a keep/drop flag at the pinned
+    thresholds (dup ≤ 0.30, top ≤ 0.20). The reference's quality gates are
+    row-local ratio filters (HDFS/data_process.py:60-75 drops rows by
+    content predicates); this is the same shape lifted to the metric the
+    LLM-data literature actually gates on.
+
+    Scale shape: explode → two hash aggregations keyed by (doc_id, gram) then
+    doc_id — partial aggregation map-side, shuffled rows are (id, md5-sized
+    gram, count), never document text; no window, no join, no Python. Ratios
+    are emitted as exact INTEGER parts-per-million ((a*1e6) DIV b on longs)
+    so the oracle comparison never meets engine float rounding (CLAUDE.md:
+    round-half ties diverge between Spark and DuckDB); the keep flag is
+    integer-exact for the same reason. Docs with <3 words have no 3-grams and
+    are excluded by definition."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", words(F.col("text")).alias("_ws")
+    ).filter(F.size("_ws") >= 3)
+    grams = base.select(
+        "doc_id", F.explode(word_ngrams(F.col("_ws"), 3)).alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_3grams"),
+        F.count(F.lit(1)).alias("n_distinct_3grams"),
+        F.max("cnt").alias("_max_cnt"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_3grams",
+        "n_distinct_3grams",
+        F.expr(
+            "(n_3grams - n_distinct_3grams) * 1000000 DIV n_3grams"
+        ).alias("dup_3gram_ppm"),
+        F.expr("_max_cnt * 1000000 DIV n_3grams").alias("top_3gram_ppm"),
+        F.expr(
+            "(n_3grams - n_distinct_3grams) * 1000000 <= 300000 * n_3grams"
+            " AND _max_cnt * 1000000 <= 200000 * n_3grams"
+        ).alias("keep"),
+    )
+
+
+_REPETITION_SQL = """
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))) AS gram
+  FROM ws WHERE len(w) >= 3
+), c AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+), d AS (
+  SELECT doc_id, cast(sum(cnt) AS bigint) AS n_3grams,
+         cast(count(*) AS bigint) AS n_distinct_3grams,
+         cast(max(cnt) AS bigint) AS max_cnt
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_3grams, n_distinct_3grams,
+       (n_3grams - n_distinct_3grams) * 1000000 // n_3grams AS dup_3gram_ppm,
+       max_cnt * 1000000 // n_3grams AS top_3gram_ppm,
+       ((n_3grams - n_distinct_3grams) * 1000000 <= 300000 * n_3grams
+        AND max_cnt * 1000000 <= 200000 * n_3grams) AS keep
+FROM d
+"""
+
+
+# --- train/eval decontamination (5-gram overlap flagging) ---------------------
+DECONTAM_SEED = 97
+DECONTAM_EVAL_PCT = 2
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag every training document sharing a
+    5-gram with the held-out eval slice (the GPT-3/Llama-style n-gram-overlap
+    contamination check). The eval slice is carved deterministically with the
+    same md5 key-hash coin as seeded_sample (reference pins RNG seeds for its
+    splits, HDFS/sample.py:93-96) so the whole check is oracle-verifiable;
+    in a real pipeline the eval side is a separate benchmark table of the
+    same (tiny) shape.
+
+    Scale shape: the eval 5-gram set is benchmark-sized BY CONSTRUCTION, so
+    it broadcasts; the training side is one scan → explode_outer → broadcast
+    left join → hash agg on doc_id. No shuffle ever carries document text,
+    and short/edge docs (<5 words, zero grams) stay in the output with
+    n_5grams=0 via explode_outer. Duplicate grams in one doc each count one
+    hit position (the eval side is distinct, so the join never fans out)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # PROJECT the token array before handing it to word_ngrams: an inlined
+    # words(text) re-evaluates the split per element_at reference inside the
+    # interpreted transform lambda (measured 15.1s vs 0.51s on sf0.1 —
+    # CollapseProject declines to re-inline an alias referenced 5× per
+    # position, so the two-step form materializes the split once per row)
+    base = docs.select(
+        "doc_id",
+        words(F.col("text")).alias("_ws"),
+        (
+            _hash_bucket(F.col("doc_id"), DECONTAM_SEED) < DECONTAM_EVAL_PCT
+        ).alias("_eval"),
+    ).select(
+        "doc_id", word_ngrams(F.col("_ws"), 5).alias("grams"), "_eval"
+    )
+    eval_grams = (
+        base.filter(F.col("_eval"))
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = base.filter(~F.col("_eval")).select(
+        "doc_id", F.explode_outer("grams").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_5grams"),
+            F.count("_hit").alias("eval_hits"),
+        )
+        .withColumn("contaminated", F.col("eval_hits") > 0)
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w,
+         ('0x' || substr(md5(doc_id || ':{DECONTAM_SEED}'), 1, 6))::int % 100
+           < {DECONTAM_EVAL_PCT} AS is_eval
+  FROM documents WHERE text IS NOT NULL
+), b AS (
+  SELECT doc_id, is_eval,
+         CASE WHEN len(w) >= 5 THEN list_transform(range(1, len(w) - 3),
+              i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
+         ELSE [] END AS grams
+  FROM ws
+), eg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM b WHERE is_eval
+), tg AS (
+  SELECT doc_id, unnest(CASE WHEN len(grams) = 0
+                             THEN [CAST(NULL AS VARCHAR)] ELSE grams END) AS gram
+  FROM b WHERE NOT is_eval
+)
+SELECT tg.doc_id,
+       cast(count(tg.gram) AS bigint) AS n_5grams,
+       cast(count(eg.gram) AS bigint) AS eval_hits,
+       count(eg.gram) > 0 AS contaminated
+FROM tg LEFT JOIN eg ON tg.gram = eg.gram
+GROUP BY tg.doc_id
 """
 
 
@@ -579,6 +737,8 @@ QUERIES = {
     "jaccard_near_dup": q_jaccard_near_dup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
+    "repetition_filter": q_repetition_filter,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLES = {
@@ -592,4 +752,6 @@ ORACLES = {
     "jaccard_near_dup": _JACCARD_SQL,
     "minhash_lsh_pairs": _MINHASH_SQL,
     "simhash": _SIMHASH_SQL,
+    "repetition_filter": _REPETITION_SQL,
+    "decontaminate": _DECONTAM_SQL,
 }

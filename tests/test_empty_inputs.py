@@ -45,7 +45,8 @@ def empty_sf_dir(spark, tmp_path_factory):
 EMPTY_EXPECTED: dict[str, int] = {
     "ann_ivf": 0, "ann_lsh": 0, "anti_join": 0, "binary_meta": 0,
     "broadcast_join_revenue": 0, "column_stats": 0, "cosine_topk": 0,
-    "dedup_clusters": 0, "distinct_exact": 0, "doc_fingerprint": 0,
+    "decontaminate": 0, "dedup_clusters": 0, "distinct_exact": 0,
+    "doc_fingerprint": 0, "repetition_filter": 0,
     "drift_hist": 0, "embedding_mean": 0, "embedding_near_dup": 0,
     "exact_dup_groups": 0, "filter_pack": 0, "fixed_window_chunks": 0,
     "group_collect_ordered": 0, "hll_distinct": 0, "inner_join_count": 0,

@@ -44,6 +44,7 @@ NULL_EXPECTED: dict[str, int] = {
     "broadcast_join_revenue": 1,
     "column_stats": 1,
     "cosine_topk": 0,
+    "decontaminate": 0,      # NULL text excluded → no train docs at all
     "dedup_clusters": 0,
     "distinct_exact": 1,
     "doc_fingerprint": 500,  # fingerprint(NULL) rides as NULL per doc
@@ -71,6 +72,7 @@ NULL_EXPECTED: dict[str, int] = {
     "quantile_median": 1,
     "ranked_mapping": 1,
     "regex_hash_pack": 1000,
+    "repetition_filter": 0,  # NULL tokens → size NULL → length gate drops
     "seeded_sample": 149,    # hash of numeric keys — text plays no part
     "seeded_split": 2,
     "semi_join": 0,

@@ -240,3 +240,66 @@ def test_kmv_topk_is_partial_window_group_limit(spark):
     plan = formatted_plan(q_kmv_distinct(spark, SF_DIR))
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
+
+
+def test_repetition_filter_planted_metrics(spark, tmp_path):
+    """Planted repetition semantics: a 6-word doc of alternating tokens has
+    4 3-gram positions over 2 distinct 3-grams (dup = top = 0.5 → drop); a
+    12-distinct-word doc has 10 unique 3-grams (dup 0, top 0.1 → keep);
+    <3-word and NULL docs have no 3-grams and are excluded by definition."""
+    from log_anomaly_detector_spark.operators.text import q_repetition_filter
+
+    spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+            (3, "x y"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in q_repetition_filter(spark, str(tmp_path)).collect()
+    }
+    assert sorted(got) == [1, 2]
+    assert got[1] == {
+        "doc_id": 1, "n_3grams": 4, "n_distinct_3grams": 2,
+        "dup_3gram_ppm": 500000, "top_3gram_ppm": 500000, "keep": False,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_3grams": 10, "n_distinct_3grams": 10,
+        "dup_3gram_ppm": 0, "top_3gram_ppm": 100000, "keep": True,
+    }
+
+
+def test_decontaminate_planted_overlap(spark, tmp_path):
+    """Planted contamination: doc_id 11 hashes into the eval slice (md5 coin,
+    seed 97, 2%); a train doc sharing one of its 5-grams is flagged with the
+    exact hit count, a disjoint train doc and a <5-word train doc (zero
+    grams, kept via explode_outer) are not; the eval doc never appears."""
+    from log_anomaly_detector_spark.operators.text import q_decontaminate
+
+    spark.createDataFrame(
+        [
+            (11, "alpha beta gamma delta epsilon zeta"),   # eval slice
+            (1, "xx alpha beta gamma delta epsilon yy"),   # shares one 5-gram
+            (2, "p q r s t u"),                            # disjoint
+            (3, "hi there"),                               # no 5-grams
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in q_decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert sorted(got) == [1, 2, 3]
+    assert got[1] == {
+        "doc_id": 1, "n_5grams": 3, "eval_hits": 1, "contaminated": True,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_5grams": 2, "eval_hits": 0, "contaminated": False,
+    }
+    assert got[3] == {
+        "doc_id": 3, "n_5grams": 0, "eval_hits": 0, "contaminated": False,
+    }
