@@ -303,3 +303,31 @@ def test_decontaminate_planted_overlap(spark, tmp_path):
     assert got[3] == {
         "doc_id": 3, "n_5grams": 0, "eval_hits": 0, "contaminated": False,
     }
+
+
+def test_repetition_filter_plan_shape(spark):
+    """Repetition metrics must stay join-free: explode → two hash
+    aggregations (partial map-side), shuffles carrying (doc_id, gram, count)
+    rows only."""
+    from log_anomaly_detector_spark.operators.text import q_repetition_filter
+    from log_anomaly_detector_spark.plans import formatted_plan, plan_facts
+
+    df = q_repetition_filter(spark, SF_DIR)
+    facts = plan_facts(df)
+    assert "Join" not in formatted_plan(df)
+    assert facts["partial_agg"]
+    assert facts["shuffle_exchanges"] <= 2
+
+
+def test_decontaminate_plan_shape(spark):
+    """The eval shingle set is benchmark-sized by construction — the overlap
+    join must be a BroadcastHashJoin (never sort-merge on the exploded train
+    grams) and the only row shuffles are the eval distinct + the doc_id
+    aggregation."""
+    from log_anomaly_detector_spark.operators.text import q_decontaminate
+    from log_anomaly_detector_spark.plans import plan_facts
+
+    facts = plan_facts(q_decontaminate(spark, SF_DIR))
+    assert facts["broadcast_join"]
+    assert not facts["sort_merge_join"]
+    assert facts["shuffle_exchanges"] <= 2
