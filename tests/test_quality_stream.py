@@ -155,3 +155,35 @@ def test_quality_stream_empty_drain_and_empty_eval(spark, tmp_path):
     assert [r["doc_id"] for r in rows] == [7]
     assert rows[0]["contaminated"] is False
     assert rows[0]["eval_hits_distinct"] == 0
+
+
+def test_rep_fold_matches_multiset_stats_property(spark):
+    """Property: for ANY gram multiset, the row-local sorted fold's
+    (distinct, max run) equal the multiset's (distinct count, max
+    multiplicity) — the quantities the batch explode→groupBy computes.
+    One Spark job over a batch of hypothesis-style random cases (drawn with
+    a fixed-seed RNG; a @given-per-example would pay a Spark job per case)."""
+    import random
+    from collections import Counter
+
+    from log_anomaly_detector_spark.streaming.quality_stream import _rep_fold
+
+    rng = random.Random(20260818)
+    cases = []
+    for i in range(300):
+        vocab = [f"g{k}" for k in range(rng.randint(1, 6))]
+        grams = [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+        cases.append((i, grams))
+    df = spark.createDataFrame(cases, "case_id long, grams array<string>")
+    folded = df.select(
+        "case_id", _rep_fold(F.col("grams")).alias("_rep")
+    ).select(
+        "case_id",
+        F.col("_rep.n_distinct").alias("n_distinct"),
+        F.col("_rep.max_run").alias("max_run"),
+    )
+    got = {r["case_id"]: (r["n_distinct"], r["max_run"]) for r in folded.collect()}
+    for cid, grams in cases:
+        c = Counter(grams)
+        want = (len(c), max(c.values()) if c else 0)
+        assert got[cid] == want, (cid, grams, got[cid], want)
