@@ -4,27 +4,33 @@ q_decontaminate): every landing document is scored ROW-LOCALLY for intra-doc
 repetition and checked against a static eval-shingle set, then routed to the
 kept corpus or a quarantine sink within the same micro-batch.
 
-Row-local is the design point: the batch repetition metrics are per-document
-multiset statistics of the doc's own 3-grams, so they need NO streaming
-aggregation state — a single sequential fold over the SORTED gram array
-computes (distinct, max run) inside the projection, with values equal to the
-batch explode→groupBy by construction (both count duplicates of the same
-3-gram multiset; equality is pinned per-doc by test). The decontamination
-side is a stream-static broadcast of the benchmark 5-gram set (benchmark-
-sized by definition). The whole gate is therefore STATELESS: no watermark,
-no state store, bounded memory at any throughput, resumable purely from the
-file-source checkpoint.
+Two-stage design, each stage in its scale-correct shape:
+
+* repetition — the batch metrics are per-document multiset statistics of the
+  doc's own 3-grams, so they need NO streaming aggregation state: a single
+  sequential fold over the SORTED gram array computes (distinct, max run)
+  inside the stream projection, with values equal to the batch
+  explode→groupBy by construction (pinned per-doc by test + property test).
+  No watermark, no state store.
+* decontamination — a per-micro-batch BATCH broadcast join inside
+  ``foreachBatch`` (explode → broadcast-left-join the eval gram set → count
+  hits per doc): the broadcast hash table is built once per task and probed
+  per gram. The tempting alternative — shipping the eval set as one
+  broadcast ARRAY row and using ``array_intersect`` per document — rebuilds
+  the eval-side hash set PER ROW (expression-level, no caching across rows);
+  at a 450k-gram eval set over 500k docs that is ~10^11 set-insertions and
+  the drain never finishes. Measured the hard way; join, don't intersect,
+  whenever the static side is bigger than a benchmark.
+
+The gate is stateless end to end: resumable purely from the file-source
+checkpoint, bounded memory at any throughput.
 
 Reference parity: the reference gates quality row-locally during data prep
 too (content-predicate drops, HDFS/data_process.py:60-75); this is that
 stage lifted to the metrics the LLM-data literature actually gates on
-(Gopher repetition, GPT-3-style eval-overlap), applied at ingest.
-
-Semantics note vs the batch queries: the repetition metrics and thresholds
-are IDENTICAL; the contamination decision (any shared 5-gram) is identical,
-but the streamed hit count is DISTINCT shared grams (arrays_overlap /
-array_intersect are set-valued) where the batch query counts gram POSITIONS
-— the boolean gate is the same either way and the parity test pins both.
+(Gopher repetition, GPT-3-style eval-overlap), applied at ingest. The
+emitted metrics and flags match the batch queries exactly: repetition ppm
+per doc, POSITIONAL eval hit counts, same pinned thresholds.
 """
 
 from __future__ import annotations
@@ -43,7 +49,7 @@ TOP_PPM_MAX = 200_000
 
 
 def _rep_fold(grams: Column) -> Column:
-    """struct(run, max_run, distinct) from ONE sequential fold over the
+    """struct(run, max_run, n_distinct) from ONE sequential fold over the
     sorted gram array — the row-local equivalent of the batch
     explode → count-per-gram → (sum, count, max) aggregation: sorting
     groups equal grams into runs, so `max run length` IS the max gram
@@ -74,8 +80,7 @@ def _rep_fold(grams: Column) -> Column:
 def build_eval_grams(spark: SparkSession, benchmark_docs: DataFrame) -> DataFrame:
     """Distinct 5-gram set of a benchmark table (doc_id, text) — the static
     side of the ingest gate. Same construction as the batch
-    q_decontaminate eval slice; benchmark-sized by definition, so it
-    broadcasts."""
+    q_decontaminate eval slice."""
     base = benchmark_docs.filter(F.col("text").isNotNull()).select(
         words(F.col("text")).alias("_ws")
     )
@@ -86,22 +91,18 @@ def build_eval_grams(spark: SparkSession, benchmark_docs: DataFrame) -> DataFram
     )
 
 
-def gate_doc_stream(
+def scored_doc_stream(
     spark: SparkSession,
     input_dir: str,
-    eval_grams: DataFrame,
     schema_ddl: str = DOC_STREAM_SCHEMA,
 ) -> DataFrame:
-    """readStream → row-local repetition fold + static-broadcast overlap →
-    (doc_id, ts, n_3grams, dup_3gram_ppm, top_3gram_ppm,
-    eval_hits_distinct, contaminated, keep). Callers attach a sink.
+    """readStream → row-local repetition metrics, 5-gram array retained for
+    the per-batch decontamination join → (doc_id, ts, n_3grams,
+    dup_3gram_ppm, top_3gram_ppm, _g5). Stateless stream projection.
 
-    Docs too short to score (<3 words → no 3-grams) pass the repetition
-    gate with NULL metrics — absence of evidence is not a drop reason; the
-    batch query simply excludes them, and the parity test covers both
-    conventions. The eval side rides as ONE broadcast row holding the
-    sorted gram array (stream-static join, re-broadcast per micro-batch at
-    benchmark size — trivial)."""
+    Docs too short to score (<3 words → no 3-grams) carry NULL repetition
+    metrics — absence of evidence is not a drop reason; the batch query
+    simply excludes them, and the parity test covers both conventions."""
     stream = spark.readStream.schema(schema_ddl).parquet(input_dir)
     # word_ngrams caller contract: PROJECT the token array first — an
     # inlined split re-evaluates per element reference inside the
@@ -122,7 +123,7 @@ def gate_doc_stream(
         "doc_id", "ts", "_g5", F.size("_g3").cast("long").alias("n_3grams"),
         _rep_fold(F.col("_g3")).alias("_rep"),
     )
-    metrics = folded.select(
+    return folded.select(
         "doc_id",
         "ts",
         "_g5",
@@ -136,28 +137,49 @@ def gate_doc_stream(
             " _rep.max_run * 1000000 DIV n_3grams END"
         ).alias("top_3gram_ppm"),
     )
-    eval_row = F.broadcast(
-        eval_grams.agg(
-            F.array_sort(F.collect_list("gram")).alias("_eval_grams")
+
+
+def _gate_batch(batch_df: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """Decontaminate + flag one micro-batch (plain BATCH plan): explode the
+    retained 5-gram array, broadcast-left-join the eval set, count
+    POSITIONAL hits per doc (same counts as the batch q_decontaminate),
+    rejoin to the metrics row, derive the keep flag."""
+    grams = batch_df.select(
+        "doc_id", F.explode_outer("_g5").alias("gram")
+    )
+    hits = (
+        grams.join(
+            F.broadcast(eval_grams.withColumn("_hit", F.lit(1))),
+            "gram",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_5grams"),
+            F.count("_hit").alias("eval_hits"),
         )
     )
-    joined = metrics.join(eval_row, F.lit(True), "left")
     rep_ok = ~(
         (F.col("dup_3gram_ppm") > DUP_PPM_MAX)
         | (F.col("top_3gram_ppm") > TOP_PPM_MAX)
     )
-    contaminated = F.arrays_overlap(F.col("_g5"), F.col("_eval_grams"))
-    return joined.select(
-        "doc_id",
-        "ts",
-        "n_3grams",
-        "dup_3gram_ppm",
-        "top_3gram_ppm",
-        F.size(F.array_intersect(F.col("_g5"), F.col("_eval_grams"))).alias(
-            "eval_hits_distinct"
-        ),
-        contaminated.alias("contaminated"),
-        (F.coalesce(rep_ok, F.lit(True)) & ~contaminated).alias("keep"),
+    return (
+        batch_df.drop("_g5")
+        .join(hits, "doc_id", "left")  # every doc has a hits row
+        .select(
+            "doc_id",
+            "ts",
+            "n_3grams",
+            "dup_3gram_ppm",
+            "top_3gram_ppm",
+            F.coalesce("n_5grams", F.lit(0)).alias("n_5grams"),
+            F.coalesce("eval_hits", F.lit(0)).alias("eval_hits"),
+            (F.coalesce("eval_hits", F.lit(0)) > 0).alias("contaminated"),
+            (
+                F.coalesce(rep_ok, F.lit(True))
+                & ~(F.coalesce("eval_hits", F.lit(0)) > 0)
+            ).alias("keep"),
+        )
     )
 
 
@@ -174,32 +196,37 @@ def run_quality_gate_once(
     to TWO parquet sinks in one pass (foreachBatch: kept corpus +
     quarantine with full metrics for audit), then return the kept rows.
 
-    foreachBatch gives dual sinks at the cost of exactly-once: a batch
-    retried after a mid-write crash can append twice. The production
-    pattern is idempotent per-batch output paths (partition by batch_id and
-    overwrite); this drain helper targets local smoke runs, same caveat
-    discipline as run_dedup_stream_once."""
+    The eval gram set is persisted for the drain so the static side is
+    scanned once, not once per micro-batch. foreachBatch gives dual sinks
+    at the cost of exactly-once: a batch retried after a mid-write crash
+    can append twice. The production pattern is idempotent per-batch output
+    paths (partition by batch_id and overwrite); this drain helper targets
+    local smoke runs, same caveat discipline as run_dedup_stream_once."""
+    eval_grams = eval_grams.persist()
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
+        gated = _gate_batch(batch_df, eval_grams).persist()
         try:
-            batch_df.filter(F.col("keep")).drop("keep").write.mode(
+            gated.filter(F.col("keep")).drop("keep").write.mode(
                 "append"
             ).parquet(kept_dir)
-            batch_df.filter(~F.col("keep")).write.mode("append").parquet(
+            gated.filter(~F.col("keep")).write.mode("append").parquet(
                 quarantine_dir
             )
         finally:
-            batch_df.unpersist()
+            gated.unpersist()
 
     q = (
-        gate_doc_stream(spark, input_dir, eval_grams, schema_ddl)
+        scored_doc_stream(spark, input_dir, schema_ddl)
         .writeStream.foreachBatch(_route)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        eval_grams.unpersist()
     from pyspark.errors import AnalysisException
 
     try:
@@ -218,6 +245,6 @@ def run_quality_gate_once(
         return spark.createDataFrame(
             [],
             "doc_id long, ts timestamp, n_3grams long, dup_3gram_ppm long,"
-            " top_3gram_ppm long, eval_hits_distinct int, contaminated"
-            " boolean",
+            " top_3gram_ppm long, n_5grams long, eval_hits long,"
+            " contaminated boolean",
         )

@@ -93,13 +93,15 @@ def test_quality_stream_parity_routing_resume(spark, tmp_path):
     assert short["n_3grams"] == 0
     assert short["dup_3gram_ppm"] is None
 
-    # contamination flag parity with the batch query
+    # decontamination parity with the batch query: positional gram and hit
+    # counts, not just the flag
     batch_decon = {
-        r["doc_id"]: r["contaminated"]
+        r["doc_id"]: r.asDict()
         for r in q_decontaminate(spark, f"{tmp_path}/batch").collect()
     }
-    for did, flag in batch_decon.items():
-        assert streamed[did]["contaminated"] == flag, did
+    for did, b in batch_decon.items():
+        for col in ("n_5grams", "eval_hits", "contaminated"):
+            assert streamed[did][col] == b[col], (did, col)
 
     # resume: same checkpoint, no new input → nothing re-processed
     n_kept_files = len(spark.read.parquet(str(tmp_path / "kept")).collect())
@@ -154,7 +156,7 @@ def test_quality_stream_empty_drain_and_empty_eval(spark, tmp_path):
     rows = kept2.collect()
     assert [r["doc_id"] for r in rows] == [7]
     assert rows[0]["contaminated"] is False
-    assert rows[0]["eval_hits_distinct"] == 0
+    assert rows[0]["eval_hits"] == 0
 
 
 def test_rep_fold_matches_multiset_stats_property(spark):
