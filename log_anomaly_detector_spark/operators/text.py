@@ -235,6 +235,36 @@ DECONTAM_SEED = 97
 DECONTAM_EVAL_PCT = 2
 
 
+def flag_contamination(
+    train_docs: DataFrame, eval_grams: DataFrame
+) -> DataFrame:
+    """(doc_id, n_5grams, eval_hits, contaminated) for every train doc with
+    non-NULL text — the reusable core of q_decontaminate, also driven by
+    tools/curate_docs.py against an EXTERNAL benchmark table. The eval side
+    must be a distinct (gram) set; it is broadcast (benchmark-sized by
+    contract — corpus-derived eval slices that scale with the corpus belong
+    in a shuffle join instead)."""
+    base = (
+        train_docs.filter(F.col("text").isNotNull())
+        .select("doc_id", words(F.col("text")).alias("_ws"))
+        .select("doc_id", word_ngrams(F.col("_ws"), 5).alias("grams"))
+    )
+    train = base.select("doc_id", F.explode_outer("grams").alias("gram"))
+    return (
+        train.join(
+            F.broadcast(eval_grams.withColumn("_hit", F.lit(1))),
+            "gram",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_5grams"),
+            F.count("_hit").alias("eval_hits"),
+        )
+        .withColumn("contaminated", F.col("eval_hits") > 0)
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination: flag every training document sharing a
     5-gram with the held-out eval slice (the GPT-3/Llama-style n-gram-overlap
@@ -251,38 +281,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_5grams=0 via explode_outer. Duplicate grams in one doc each count one
     hit position (the eval side is distinct, so the join never fans out)."""
     docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    # PROJECT the token array before handing it to word_ngrams: an inlined
-    # words(text) re-evaluates the split per element_at reference inside the
-    # interpreted transform lambda (measured 15.1s vs 0.51s on sf0.1 —
-    # CollapseProject declines to re-inline an alias referenced 5× per
-    # position, so the two-step form materializes the split once per row)
-    base = docs.select(
-        "doc_id",
-        words(F.col("text")).alias("_ws"),
-        (
-            _hash_bucket(F.col("doc_id"), DECONTAM_SEED) < DECONTAM_EVAL_PCT
-        ).alias("_eval"),
-    ).select(
-        "doc_id", word_ngrams(F.col("_ws"), 5).alias("grams"), "_eval"
-    )
+    # note: word_ngrams requires the token array PROJECTED to an alias —
+    # an inlined words(text) re-evaluates the split per element_at reference
+    # inside the interpreted transform lambda (measured 15.1s vs 0.51s on
+    # sf0.1); both construction sites below go through the projected form
+    is_eval = _hash_bucket(F.col("doc_id"), DECONTAM_SEED) < DECONTAM_EVAL_PCT
     eval_grams = (
-        base.filter(F.col("_eval"))
-        .select(F.explode("grams").alias("gram"))
+        docs.filter(is_eval)
+        .select("doc_id", words(F.col("text")).alias("_ws"))
+        .select(F.explode(word_ngrams(F.col("_ws"), 5)).alias("gram"))
         .distinct()
-        .withColumn("_hit", F.lit(1))
     )
-    train = base.filter(~F.col("_eval")).select(
-        "doc_id", F.explode_outer("grams").alias("gram")
-    )
-    return (
-        train.join(F.broadcast(eval_grams), "gram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("gram").alias("n_5grams"),
-            F.count("_hit").alias("eval_hits"),
-        )
-        .withColumn("contaminated", F.col("eval_hits") > 0)
-    )
+    return flag_contamination(docs.filter(~is_eval), eval_grams)
 
 
 _DECONTAM_SQL = f"""
