@@ -159,10 +159,14 @@ GROUP BY prefix_fp HAVING count(*) > 1
 # --- intra-document repetition filter (Gopher-style quality signal) ----------
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition metrics in the Gopher family (Rae et al. 2021,
-    "Scaling Language Models", Table A1 repetition filters): the fraction of
-    3-gram POSITIONS occupied by repeated 3-grams and the share taken by the
-    single most frequent 3-gram, plus a keep/drop flag at the pinned
-    thresholds (dup ≤ 0.30, top ≤ 0.20). The reference's quality gates are
+    "Scaling Language Models", Table A1 repetition filters): the EXCESS-
+    duplicate share of 3-gram positions — positions beyond the first
+    occurrence of their gram, (n − n_distinct)/n, which is 0 for an
+    all-unique doc and →1 as one gram dominates; NOT Gopher's
+    all-positions-of-duplicated-grams fraction, which double-counts the
+    first occurrences — and the share taken by the single most frequent
+    3-gram, plus a keep/drop flag at the pinned thresholds (excess-dup ≤
+    0.30, top ≤ 0.20). The reference's quality gates are
     row-local ratio filters (HDFS/data_process.py:60-75 drops rows by
     content predicates); this is the same shape lifted to the metric the
     LLM-data literature actually gates on.
@@ -235,23 +239,18 @@ DECONTAM_SEED = 97
 DECONTAM_EVAL_PCT = 2
 
 
-def flag_contamination(
-    train_docs: DataFrame, eval_grams: DataFrame
-) -> DataFrame:
-    """(doc_id, n_5grams, eval_hits, contaminated) for every train doc with
-    non-NULL text — the reusable core of q_decontaminate, also driven by
-    tools/curate_docs.py against an EXTERNAL benchmark table. The eval side
-    must be a distinct (gram) set; it is broadcast (benchmark-sized by
-    contract — corpus-derived eval slices that scale with the corpus belong
-    in a shuffle join instead)."""
-    base = (
-        train_docs.filter(F.col("text").isNotNull())
-        .select("doc_id", words(F.col("text")).alias("_ws"))
-        .select("doc_id", word_ngrams(F.col("_ws"), 5).alias("grams"))
-    )
-    train = base.select("doc_id", F.explode_outer("grams").alias("gram"))
+def count_eval_hits(gram_rows: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """(doc_id, n_5grams, eval_hits, contaminated) from a pre-exploded
+    (doc_id, gram) table — gram NULL for zero-gram docs (explode_outer
+    upstream), so every doc keeps a row with counts 0. The ONE positional
+    hit-counting implementation shared by q_decontaminate, the curation CLI
+    and the streaming ingest gate (their parity is a contract, not a
+    convention to keep in lockstep by hand). The eval side must be a
+    distinct (gram) set; it is broadcast (benchmark-sized by contract —
+    corpus-derived eval slices that scale with the corpus belong in a
+    shuffle join instead)."""
     return (
-        train.join(
+        gram_rows.join(
             F.broadcast(eval_grams.withColumn("_hit", F.lit(1))),
             "gram",
             "left",
@@ -262,6 +261,24 @@ def flag_contamination(
             F.count("_hit").alias("eval_hits"),
         )
         .withColumn("contaminated", F.col("eval_hits") > 0)
+    )
+
+
+def flag_contamination(
+    train_docs: DataFrame, eval_grams: DataFrame
+) -> DataFrame:
+    """(doc_id, n_5grams, eval_hits, contaminated) for every train doc with
+    non-NULL text — the reusable face of count_eval_hits over a raw
+    documents table, also driven by tools/curate_docs.py against an
+    EXTERNAL benchmark table."""
+    base = (
+        train_docs.filter(F.col("text").isNotNull())
+        .select("doc_id", words(F.col("text")).alias("_ws"))
+        .select("doc_id", word_ngrams(F.col("_ws"), 5).alias("grams"))
+    )
+    return count_eval_hits(
+        base.select("doc_id", F.explode_outer("grams").alias("gram")),
+        eval_grams,
     )
 
 

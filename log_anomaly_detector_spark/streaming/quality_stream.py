@@ -123,11 +123,17 @@ def scored_doc_stream(
         "doc_id", "ts", "_g5", F.size("_g3").cast("long").alias("n_3grams"),
         _rep_fold(F.col("_g3")).alias("_rep"),
     )
-    return folded.select(
-        "doc_id",
-        "ts",
-        "_g5",
-        "n_3grams",
+    return folded.select("doc_id", "ts", "_g5", "n_3grams", *_rep_metric_cols())
+
+
+def _rep_metric_cols() -> list:
+    """Metric/flag projections over (n_3grams, _rep) — split out so the
+    boundary test can drive them with synthetic fold states. The keep
+    decision uses EXACT integer cross-multiplication — the same expression
+    as the batch flag — never the floored ppm columns: at n_3grams > ~100k
+    a doc whose dup share lands strictly between 300000/1e6 and its floor
+    would pass a `ppm > MAX` test while the batch flag drops it."""
+    return [
         F.expr(
             "CASE WHEN n_3grams > 0 THEN"
             " (n_3grams - _rep.n_distinct) * 1000000 DIV n_3grams END"
@@ -136,48 +142,43 @@ def scored_doc_stream(
             "CASE WHEN n_3grams > 0 THEN"
             " _rep.max_run * 1000000 DIV n_3grams END"
         ).alias("top_3gram_ppm"),
-    )
+        F.expr(
+            f"CASE WHEN n_3grams > 0 THEN"
+            f" (n_3grams - _rep.n_distinct) * 1000000 <= {DUP_PPM_MAX} * n_3grams"
+            f" AND _rep.max_run * 1000000 <= {TOP_PPM_MAX} * n_3grams END"
+        ).alias("_rep_ok"),
+    ]
 
 
 def _gate_batch(batch_df: DataFrame, eval_grams: DataFrame) -> DataFrame:
     """Decontaminate + flag one micro-batch (plain BATCH plan): explode the
-    retained 5-gram array, broadcast-left-join the eval set, count
-    POSITIONAL hits per doc (same counts as the batch q_decontaminate),
-    rejoin to the metrics row, derive the keep flag."""
-    grams = batch_df.select(
-        "doc_id", F.explode_outer("_g5").alias("gram")
-    )
-    hits = (
-        grams.join(
-            F.broadcast(eval_grams.withColumn("_hit", F.lit(1))),
-            "gram",
-            "left",
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count("gram").alias("n_5grams"),
-            F.count("_hit").alias("eval_hits"),
-        )
-    )
-    rep_ok = ~(
-        (F.col("dup_3gram_ppm") > DUP_PPM_MAX)
-        | (F.col("top_3gram_ppm") > TOP_PPM_MAX)
+    retained 5-gram array and count POSITIONAL hits per doc through the
+    SHARED `operators.text.count_eval_hits` core (identical counts to the
+    batch q_decontaminate by construction), then join back to the metrics
+    row — inner join: explode_outer guarantees every doc one gram row, so
+    every doc has a hits row — and derive the keep flag. NULL `_rep_ok`
+    (doc too short to score) passes the repetition gate: absence of
+    evidence is not a drop reason."""
+    from log_anomaly_detector_spark.operators.text import count_eval_hits
+
+    hits = count_eval_hits(
+        batch_df.select("doc_id", F.explode_outer("_g5").alias("gram")),
+        eval_grams,
     )
     return (
         batch_df.drop("_g5")
-        .join(hits, "doc_id", "left")  # every doc has a hits row
+        .join(hits, "doc_id")
         .select(
             "doc_id",
             "ts",
             "n_3grams",
             "dup_3gram_ppm",
             "top_3gram_ppm",
-            F.coalesce("n_5grams", F.lit(0)).alias("n_5grams"),
-            F.coalesce("eval_hits", F.lit(0)).alias("eval_hits"),
-            (F.coalesce("eval_hits", F.lit(0)) > 0).alias("contaminated"),
+            "n_5grams",
+            "eval_hits",
+            "contaminated",
             (
-                F.coalesce(rep_ok, F.lit(True))
-                & ~(F.coalesce("eval_hits", F.lit(0)) > 0)
+                F.coalesce("_rep_ok", F.lit(True)) & ~F.col("contaminated")
             ).alias("keep"),
         )
     )

@@ -36,6 +36,11 @@ def test_curate_planted_corpus(spark, tmp_path):
         (4, "zz yy xx ww vv uu tt ss"),           # quality drop
         (5, _good_body(5)),                       # kept
         (6, _good_body(6) + " alpha beta gamma delta epsilon"),  # contaminated
+        # near-dup pair where the CANONICAL (8) is contaminated: with the
+        # benchmark given, 88 must be PROMOTED to cluster representative
+        # (naive keep-the-canonical would silently lose the whole cluster)
+        (8, _good_body(8) + " alpha beta gamma delta epsilon"),
+        (88, _good_body(8) + " v1 v2 v3 v4 v5"),
     ]
     _write_docs(spark, rows, tmp_path / "corpus")
     _write_docs(
@@ -48,7 +53,7 @@ def test_curate_planted_corpus(spark, tmp_path):
     m1 = curate(spark, str(tmp_path / "corpus"), str(tmp_path / "out1"))
     assert m1["decontam_ran"] is False
     assert m1["dropped_by_stage"] == {
-        "exact_dup": 1, "near_dup": 1, "repetition": 1, "quality": 1,
+        "exact_dup": 1, "near_dup": 2, "repetition": 1, "quality": 1,
         "decontam": 0,
     }
     kept1 = {
@@ -57,7 +62,7 @@ def test_curate_planted_corpus(spark, tmp_path):
             str(tmp_path / "out1" / "documents.parquet")
         ).collect()
     }
-    assert kept1 == {1, 2, 5, 6}
+    assert kept1 == {1, 2, 5, 6, 8}
     quarantine = {
         r["doc_id"]: r["stage"]
         for r in spark.read.parquet(
@@ -67,14 +72,16 @@ def test_curate_planted_corpus(spark, tmp_path):
     # first-wins attribution: 21 is BOTH an exact dup and a jaccard-1.0
     # near-dup of doc 1; 3 fails BOTH repetition and quality
     assert quarantine == {
-        21: "exact_dup", 22: "near_dup", 3: "repetition", 4: "quality",
+        21: "exact_dup", 22: "near_dup", 88: "near_dup",
+        3: "repetition", 4: "quality",
     }
     # manifest written and consistent
     disk = json.loads((tmp_path / "out1" / "manifest.json").read_text())
-    assert disk["kept_docs"] == m1["kept_docs"] == 4
-    assert disk["input_docs"] == 8
+    assert disk["kept_docs"] == m1["kept_docs"] == 5
+    assert disk["input_docs"] == 10
 
-    # with the benchmark: doc 6 shares a 5-gram → decontam drop
+    # with the benchmark: docs 6 and 8 share a 5-gram → decontam drops;
+    # 88 is PROMOTED to its cluster's representative (canonical 8 fell)
     m2 = curate(
         spark,
         str(tmp_path / "corpus"),
@@ -82,11 +89,12 @@ def test_curate_planted_corpus(spark, tmp_path):
         eval_dir=str(tmp_path / "bench"),
     )
     assert m2["decontam_ran"] is True
-    assert m2["dropped_by_stage"]["decontam"] == 1
+    assert m2["dropped_by_stage"]["decontam"] == 2
+    assert m2["dropped_by_stage"]["near_dup"] == 1
     kept2 = {
         r["doc_id"]
         for r in spark.read.parquet(
             str(tmp_path / "out2" / "documents.parquet")
         ).collect()
     }
-    assert kept2 == {1, 2, 5}
+    assert kept2 == {1, 2, 5, 88}

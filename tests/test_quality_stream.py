@@ -189,3 +189,40 @@ def test_rep_fold_matches_multiset_stats_property(spark):
         c = Counter(grams)
         want = (len(c), max(c.values()) if c else 0)
         assert got[cid] == want, (cid, grams, got[cid], want)
+
+
+def test_rep_keep_flag_exact_at_floored_ppm_boundary(spark):
+    """The keep decision must use exact integer cross-multiplication, never
+    the floored ppm columns: n=100003 with 30001 excess-duplicate positions
+    floors to dup_3gram_ppm == 300000 (not > MAX), yet the exact batch flag
+    drops it (30001e6 > 300000*100003). Drive the shared metric projections
+    with synthetic fold states on both sides of the boundary."""
+    from log_anomaly_detector_spark.streaming.quality_stream import (
+        _rep_metric_cols,
+    )
+
+    rows = [
+        # (case, n_3grams, n_distinct, max_run)
+        (1, 100003, 70002, 2),   # dup ppm floors to 300000 but exact > max
+        (2, 100003, 70003, 2),   # exactly 30000*... below: 30000e6 <= 300000*100003
+        (3, 10, 7, 2),           # dup 0.3 exactly → keep
+        (4, 10, 6, 2),           # dup 0.4 → drop
+        (5, 0, 0, 0),            # unscorable → NULL flag
+    ]
+    df = spark.createDataFrame(
+        [
+            (c, n, {"prev": None, "run": 0, "max_run": m, "n_distinct": d})
+            for c, n, d, m in rows
+        ],
+        "case_id long, n_3grams long, _rep struct<prev:string,run:long,"
+        "max_run:long,n_distinct:long>",
+    )
+    got = {
+        r["case_id"]: (r["dup_3gram_ppm"], r["_rep_ok"])
+        for r in df.select("case_id", *_rep_metric_cols()).collect()
+    }
+    assert got[1] == (300000, False)  # floored ppm alone would keep it
+    assert got[2] == (299991, True)
+    assert got[3] == (300000, True)
+    assert got[4] == (400000, False)
+    assert got[5] == (None, None)

@@ -44,11 +44,23 @@ data_dir = {data_dir!r}
 stream_in = data_dir.rstrip("/") + "_stream_in"
 docs = spark.read.parquet(f"{{data_dir}}/documents.parquet")
 import os
-if not os.path.isdir(stream_in):
-    # FIXED 16-way layout regardless of worker cores: the micro-batch's
-    # parallelism follows the input file splits, so a layout written by the
-    # small-core worker would starve the large-core leg and the pair would
-    # measure file count, not the gate
+n_docs_src = docs.count()
+
+def _stream_in_rows():
+    try:
+        return spark.read.parquet(stream_in).count()
+    except Exception:
+        return -1  # absent, partial write, foreign files — all mean rebuild
+
+if _stream_in_rows() != n_docs_src:
+    # rebuild whenever the cache doesn't exactly mirror the source corpus
+    # (a stale dir from a regenerated --data-dir, or a crashed partial
+    # write, would otherwise be drained while n_docs/docs_per_sec are
+    # computed from the NEW corpus — the record would describe data the
+    # drain never touched). FIXED 16-way layout regardless of worker
+    # cores: the micro-batch's parallelism follows the input file splits,
+    # so a layout written by the small-core worker would starve the
+    # large-core leg and the pair would measure file count, not the gate.
     docs.select(
         "doc_id",
         F.timestamp_seconds(
@@ -62,7 +74,7 @@ eval_grams = build_eval_grams(
     docs.filter(_hash_bucket(F.col("doc_id"), DECONTAM_SEED) < DECONTAM_EVAL_PCT),
 ).persist()
 eval_grams.count()  # one-time setup, materialized OUTSIDE the timed drain
-n_docs = docs.count()  # also warms the input file listing
+n_docs = n_docs_src
 
 work = tempfile.mkdtemp(prefix="sgate_")
 t0 = time.time()

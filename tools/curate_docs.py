@@ -3,11 +3,13 @@
 spark-submit-able entrypoint, composing the contract operators end to end:
 
   exact dedup (content fingerprint, keep the smallest doc_id per fp)
-    → near-dup cluster resolution (3-gram-Jaccard PPJoin pairs → connected
-      components, keep the canonical doc per cluster)
     → intra-doc repetition gate (Gopher-style dup/top 3-gram ppm thresholds)
     → quality gate (stopword/length score buckets)
     → decontamination (5-gram overlap vs a benchmark table, when given)
+    → near-dup cluster resolution (3-gram-Jaccard PPJoin pairs → connected
+      components), deduping the GATE-SURVIVORS: each cluster keeps its
+      smallest member that passed every gate, so a cluster whose canonical
+      doc is gate-dropped still contributes its best surviving member
 
     python tools/curate_docs.py --data-dir /dir/with/documents.parquet \
         --out /tmp/curated [--eval-dir /dir/with/benchmark docs] \
@@ -85,13 +87,6 @@ def curate(spark, data_dir: str, out_dir: str, eval_dir: str | None = None) -> d
         .select("doc_id", F.lit("exact_dup").alias("stage"))
     )
 
-    # 2. near-dup clusters: canonical doc per component survives
-    drops.append(
-        q_dedup_clusters(spark, data_dir)
-        .filter(~F.col("keep"))
-        .select("doc_id", F.lit("near_dup").alias("stage"))
-    )
-
     # 3. intra-doc repetition gate
     drops.append(
         q_repetition_filter(spark, data_dir)
@@ -114,6 +109,30 @@ def curate(spark, data_dir: str, out_dir: str, eval_dir: str | None = None) -> d
             .filter(F.col("contaminated"))
             .select("doc_id", F.lit("decontam").alias("stage"))
         )
+
+    # 2. near-dup clusters, AFTER the text gates are known: drop the
+    # non-representative members among the cluster's GATE-SURVIVORS — a
+    # cluster whose canonical doc fails a later gate must still keep its
+    # smallest surviving member, not lose its content entirely (dropping
+    # on q_dedup_clusters' raw keep flag would discard clean members of a
+    # cluster whose canonical is itself dropped). Exact dedup needs no such
+    # promotion: byte-identical copies share every text-derived gate
+    # outcome, so the kept copy survives iff any copy would.
+    gate_ids = reduce(lambda a, b: a.unionByName(b), drops).select(
+        "doc_id"
+    ).distinct()
+    survivors = (
+        q_dedup_clusters(spark, data_dir)
+        .join(gate_ids, "doc_id", "left_anti")
+    )
+    reps = survivors.groupBy("component_id").agg(
+        F.min("doc_id").alias("_rep")
+    )
+    drops.append(
+        survivors.join(reps, "component_id")
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select("doc_id", F.lit("near_dup").alias("stage"))
+    )
 
     all_drops = reduce(lambda a, b: a.unionByName(b), drops)
     rank = F.array_position(F.lit(list(STAGES)), F.col("stage")).cast("int")
