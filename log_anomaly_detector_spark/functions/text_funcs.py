@@ -34,6 +34,37 @@ def stopword_count(ws: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Col
     return F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
 
 
+def rep_fold(grams: Column) -> Column:
+    """struct(prev, run, max_run, n_distinct) from ONE sequential fold over
+    the sorted gram array — per-row multiset statistics (distinct count =
+    number of runs; max multiplicity = max run length) with NO shuffle: the
+    row-local shape both the batch repetition query and the streaming
+    ingest gate compute their metrics from (the explode → two-hash-agg
+    alternative shuffles ~n_grams× the corpus row count). O(n) interpreted
+    steps per row, bounded by document length; equality with the multiset
+    view pinned by a property test (tests/test_quality_stream.py)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("max_run"),
+        F.lit(0).cast("long").alias("n_distinct"),
+    )
+
+    def step(s: Column, x: Column) -> Column:
+        same = s["prev"].eqNullSafe(x)  # NULL prev (first gram) → new run
+        run = F.when(same, s["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(s["max_run"], run).alias("max_run"),
+            (
+                s["n_distinct"] + F.when(same, F.lit(0)).otherwise(F.lit(1))
+            ).alias("n_distinct"),
+        )
+
+    return F.aggregate(F.array_sort(grams), init, step)
+
+
 def word_ngrams(ws: Column, n: int) -> Column:
     """Array of space-joined word ``n``-grams over a token array — empty when
     the doc has fewer than ``n`` words (CaseWhen is lazy per-row, so the

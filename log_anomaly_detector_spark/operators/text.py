@@ -17,6 +17,7 @@ from log_anomaly_detector_spark.functions.text_funcs import (
     EN_STOPWORDS,
     fingerprint,
     normalized,
+    rep_fold,
     stopword_count,
     word_ngrams,
     words,
@@ -157,6 +158,11 @@ GROUP BY prefix_fp HAVING count(*) > 1
 
 
 # --- intra-document repetition filter (Gopher-style quality signal) ----------
+# pinned keep/drop thresholds (ppm) — the streaming ingest gate imports these
+REP_DUP_PPM_MAX = 300_000
+REP_TOP_PPM_MAX = 200_000
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition metrics in the Gopher family (Rae et al. 2021,
     "Scaling Language Models", Table A1 repetition filters): the EXCESS-
@@ -171,40 +177,43 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     content predicates); this is the same shape lifted to the metric the
     LLM-data literature actually gates on.
 
-    Scale shape: explode → two hash aggregations keyed by (doc_id, gram) then
-    doc_id — partial aggregation map-side, shuffled rows are (id, md5-sized
-    gram, count), never document text; no window, no join, no Python. Ratios
-    are emitted as exact INTEGER parts-per-million ((a*1e6) DIV b on longs)
-    so the oracle comparison never meets engine float rounding (CLAUDE.md:
+    Scale shape: SHUFFLE-FREE — the metrics are per-document multiset
+    statistics of the doc's own 3-grams, so one sorted sequential fold in
+    the projection (`functions.text_funcs.rep_fold`: distinct = number of
+    runs, max count = max run length) computes them row-locally; no
+    explode, no aggregation, no join, no Python. (The explode → two-hash-agg
+    formulation this replaces shuffled ~n_grams× the corpus row count —
+    value equality is pinned by the multiset property test and the stream
+    parity test, wall A/B recorded in BENCH/BASELINE.md.) Ratios are
+    emitted as exact INTEGER parts-per-million ((a*1e6) DIV b on longs) so
+    the oracle comparison never meets engine float rounding (CLAUDE.md:
     round-half ties diverge between Spark and DuckDB); the keep flag is
-    integer-exact for the same reason. Docs with <3 words have no 3-grams and
-    are excluded by definition."""
+    integer-exact cross-multiplication for the same reason. Docs with <3
+    words have no 3-grams and are excluded by definition."""
     docs = t(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", words(F.col("text")).alias("_ws")
     ).filter(F.size("_ws") >= 3)
-    grams = base.select(
-        "doc_id", F.explode(word_ngrams(F.col("_ws"), 3)).alias("gram")
+    # project the fold ONCE, extract fields in the NEXT projection
+    # (CollapseProject never re-inlines a multiply-referenced alias, so the
+    # fold runs once per row, not once per metric)
+    folded = base.select(
+        "doc_id",
+        (F.size("_ws") - 2).cast("long").alias("n_3grams"),
+        rep_fold(word_ngrams(F.col("_ws"), 3)).alias("_rep"),
     )
-    counts = grams.groupBy("doc_id", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    per_doc = counts.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_3grams"),
-        F.count(F.lit(1)).alias("n_distinct_3grams"),
-        F.max("cnt").alias("_max_cnt"),
-    )
-    return per_doc.select(
+    return folded.select(
         "doc_id",
         "n_3grams",
-        "n_distinct_3grams",
+        F.col("_rep.n_distinct").alias("n_distinct_3grams"),
         F.expr(
-            "(n_3grams - n_distinct_3grams) * 1000000 DIV n_3grams"
+            "(n_3grams - _rep.n_distinct) * 1000000 DIV n_3grams"
         ).alias("dup_3gram_ppm"),
-        F.expr("_max_cnt * 1000000 DIV n_3grams").alias("top_3gram_ppm"),
+        F.expr("_rep.max_run * 1000000 DIV n_3grams").alias("top_3gram_ppm"),
         F.expr(
-            "(n_3grams - n_distinct_3grams) * 1000000 <= 300000 * n_3grams"
-            " AND _max_cnt * 1000000 <= 200000 * n_3grams"
+            f"(n_3grams - _rep.n_distinct) * 1000000"
+            f" <= {REP_DUP_PPM_MAX} * n_3grams"
+            f" AND _rep.max_run * 1000000 <= {REP_TOP_PPM_MAX} * n_3grams"
         ).alias("keep"),
     )
 

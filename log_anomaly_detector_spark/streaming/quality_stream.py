@@ -7,11 +7,11 @@ kept corpus or a quarantine sink within the same micro-batch.
 Two-stage design, each stage in its scale-correct shape:
 
 * repetition — the batch metrics are per-document multiset statistics of the
-  doc's own 3-grams, so they need NO streaming aggregation state: a single
-  sequential fold over the SORTED gram array computes (distinct, max run)
-  inside the stream projection, with values equal to the batch
-  explode→groupBy by construction (pinned per-doc by test + property test).
-  No watermark, no state store.
+  doc's own 3-grams, so they need NO streaming aggregation state: the SAME
+  sorted sequential fold the batch query projects
+  (`functions.text_funcs.rep_fold`) runs inside the stream projection
+  (parity pinned per-doc by test + property test). No watermark, no state
+  store.
 * decontamination — a per-micro-batch BATCH broadcast join inside
   ``foreachBatch`` (explode → broadcast-left-join the eval gram set → count
   hits per doc): the broadcast hash table is built once per task and probed
@@ -35,46 +35,27 @@ per doc, POSITIONAL eval hit counts, same pinned thresholds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from log_anomaly_detector_spark.functions.text_funcs import word_ngrams, words
+from log_anomaly_detector_spark.functions.text_funcs import (
+    rep_fold,
+    word_ngrams,
+    words,
+)
+from log_anomaly_detector_spark.operators.text import (
+    REP_DUP_PPM_MAX as DUP_PPM_MAX,
+)
+from log_anomaly_detector_spark.operators.text import (
+    REP_TOP_PPM_MAX as TOP_PPM_MAX,
+)
 
 DOC_STREAM_SCHEMA = "doc_id long, ts timestamp, text string"
 
-# pinned thresholds — same values as the batch keep/drop flag
-# (operators/text.py q_repetition_filter)
-DUP_PPM_MAX = 300_000
-TOP_PPM_MAX = 200_000
-
-
-def _rep_fold(grams: Column) -> Column:
-    """struct(run, max_run, n_distinct) from ONE sequential fold over the
-    sorted gram array — the row-local equivalent of the batch
-    explode → count-per-gram → (sum, count, max) aggregation: sorting
-    groups equal grams into runs, so `max run length` IS the max gram
-    count and `# of runs` IS the distinct count. O(n) interpreted steps
-    per row, bounded by document length; no shuffle, no state."""
-    init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("max_run"),
-        F.lit(0).cast("long").alias("n_distinct"),
-    )
-
-    def step(s: Column, x: Column) -> Column:
-        same = s["prev"].eqNullSafe(x)  # NULL prev (first gram) → new run
-        run = F.when(same, s["run"] + 1).otherwise(F.lit(1).cast("long"))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(s["max_run"], run).alias("max_run"),
-            (
-                s["n_distinct"] + F.when(same, F.lit(0)).otherwise(F.lit(1))
-            ).alias("n_distinct"),
-        )
-
-    return F.aggregate(F.array_sort(grams), init, step)
+# the sorted-fold multiset statistics live in functions.text_funcs.rep_fold —
+# ONE implementation shared with the batch q_repetition_filter (their
+# equality is the parity contract, not a convention)
+_rep_fold = rep_fold
 
 
 def build_eval_grams(spark: SparkSession, benchmark_docs: DataFrame) -> DataFrame:

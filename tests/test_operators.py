@@ -306,17 +306,18 @@ def test_decontaminate_planted_overlap(spark, tmp_path):
 
 
 def test_repetition_filter_plan_shape(spark):
-    """Repetition metrics must stay join-free: explode → two hash
-    aggregations (partial map-side), shuffles carrying (doc_id, gram, count)
-    rows only."""
+    """Repetition metrics must be SHUFFLE-FREE: per-doc multiset statistics
+    via the row-local sorted fold — no join, no aggregation, no exchange;
+    one scan, one projection chain."""
     from log_anomaly_detector_spark.operators.text import q_repetition_filter
     from log_anomaly_detector_spark.plans import formatted_plan, plan_facts
 
     df = q_repetition_filter(spark, SF_DIR)
     facts = plan_facts(df)
-    assert "Join" not in formatted_plan(df)
-    assert facts["partial_agg"]
-    assert facts["shuffle_exchanges"] <= 2
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+    assert facts["shuffle_exchanges"] == 0
 
 
 def test_decontaminate_plan_shape(spark):
