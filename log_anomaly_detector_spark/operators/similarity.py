@@ -444,10 +444,21 @@ ND_PLANES = 2
 # kernel pass over memberships, O(corpus·tables) Arrow bytes) beats the
 # pair-stream verify (O(candidate-pairs) bytes — measured 15 GB / 117 s for
 # the 14.6M pairs the production regime emits at 100k vectors, vs 0.5 GB
-# grouped). Below that (the contract fixture's 4-buckets-per-table regime)
-# a single bucket holds a quarter of the corpus — a grouped kernel would be
-# one giant skewed task, so the distributed pair stream stays the right shape.
+# grouped). Below that threshold the dispatch is by estimated BUCKET MEMORY
+# (round 7): a low-plane config makes buckets corpus/2^planes-sized, which
+# is only a problem when one bucket's flattened vectors outgrow a task
+# (collect_list row + kernel scratch) — measured at sf1.0 (20k vectors, the
+# contract 24×2 regime ⇒ ~5k-row buckets, 2.6 MB each) the grouped kernel
+# verifies in seconds what the pair stream took 111 s to do, because the
+# candidate-pair stream is ~corpus²/2 rows shipping BOTH 64-dim vectors per
+# pair. The pair stream remains the fallback when buckets exceed the cap
+# (then the config is quadratic-by-design and distribution is what's left).
 _GROUPED_VERIFY_MIN_PLANES = 8
+# per-bucket flattened-vector budget for the grouped kernel (rows·dim·8B):
+# bounds the collect_list row and the kernel's per-group scratch. 256 MB ⇒
+# ~500k 64-dim vectors per bucket — far past any bench scale, conservative
+# for a 16 GB driver-sized task.
+_GROUPED_MAX_BUCKET_BYTES = 1 << 28
 # in-kernel pair-block budget: bounds eq/prod scratch to ~128 MB worst-case
 _PAIR_BLOCK = 1 << 18
 
@@ -540,8 +551,13 @@ def _grouped_verify_udf(
                         continue
                     ia, ja = ii[m], jj[m]
                     dots = _seq_fold(C[ia] * C[ja])
-                    cos = dots / (norms[ia] * norms[ja])
-                    keep2 = cos >= slack
+                    with np.errstate(invalid="ignore"):  # 0/0 → NaN is handled
+                        cos = dots / (norms[ia] * norms[ja])
+                    # NaN parity with the pair-stream path: Spark (and the
+                    # DuckDB oracle) order NaN ABOVE every double, so a
+                    # zero-norm pair's 0/0 cosine passes `cosine >= τ` there;
+                    # numpy's comparison would silently drop it (ADVICE r6)
+                    keep2 = (cos >= slack) | np.isnan(cos)
                     if not keep2.any():
                         continue
                     ia, ja, cos = ia[keep2], ja[keep2], cos[keep2]
@@ -588,9 +604,18 @@ def _grouped_near_dup(
         _grouped_verify_udf(dim, n_tables, threshold),
         schema="id_a long, id_b long, cosine double",
     )
-    # identical 6dp half-up round + compare as the pair-stream verify
+    # identical 6dp half-up round + compare as the pair-stream verify. The
+    # coalesce restores zero-norm NaNs: pandas→Arrow treats NaN as the
+    # missing-value sentinel, so the kernel's 0/0 cosines arrive as NULL —
+    # and NULL is the ONLY way the kernel's float64 column loses a value, so
+    # mapping it back to NaN is exact (Spark orders NaN above every double,
+    # keeping the pair exactly like the pair-stream path and the oracle).
     return raw.select(
-        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
+        "id_a",
+        "id_b",
+        F.round(
+            F.coalesce(F.col("cosine"), F.lit(float("nan"))), 6
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -601,6 +626,7 @@ def embedding_near_dup_pairs(
     planes: int = ND_PLANES,
     dim: int | None = None,
     verify: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All (id_a < id_b, cosine) pairs with cosine ≥ threshold over
     ``emb(vec_id, v array<double>)`` — LSH-bucket candidates + exact verify.
@@ -614,17 +640,19 @@ def embedding_near_dup_pairs(
     modest (miss/table = 1-(1-θ/π)^p, tables chosen so miss^L is
     negligible).
 
-    Verify strategy (``verify``: "auto" | "grouped" | "pairs"): at ≥ 8
-    planes/table (the pruning regime — buckets are bounded corpus slices)
-    "auto" picks the GROUPED kernel: one membership shuffle, norms +
-    first-hit dedup + sequential-fold cosines computed per bucket in a
-    single Arrow pass — O(corpus·tables) kernel traffic instead of the
-    pair-stream's O(candidate-pairs) (measured 15 GB / 117 s vs 0.5 GB for
-    the production regime's 14.6M candidates at 100k vectors). Low-plane
-    configs (the contract fixture: 2 planes ⇒ 4 corpus-quarter buckets)
-    keep the distributed pair stream — there a bucket group would be one
-    giant skewed task. Both strategies emit byte-identical rows
-    (equivalence-tested).
+    Verify strategy (``verify``: "auto" | "grouped" | "pairs"): "auto" picks
+    the GROUPED kernel — one membership shuffle, norms + first-hit dedup +
+    sequential-fold cosines computed per bucket in a single Arrow pass,
+    O(corpus·tables) kernel traffic instead of the pair-stream's
+    O(candidate-pairs) (measured 15 GB / 117 s vs 0.5 GB for the production
+    regime's 14.6M candidates at 100k vectors; at sf1.0 the contract regime's
+    pair stream was 111 s vs seconds grouped) — whenever per-bucket memory is
+    bounded: planes ≥ `_GROUPED_VERIFY_MIN_PLANES`, or a caller-supplied
+    ``n_rows`` whose corpus/2^planes estimated bucket stays under
+    `_GROUPED_MAX_BUCKET_BYTES`. Low-plane configs withOUT a row count (or
+    past the cap) keep the distributed pair stream — there a bucket group
+    would be one giant task. Both strategies emit byte-identical rows
+    (equivalence-tested, including the zero-norm NaN edge).
 
     Pair-stream dedup is map-side via first-colliding-table signatures,
     picked by config width: ≤62 signature bits → ONE packed long + SWAR
@@ -646,7 +674,15 @@ def embedding_near_dup_pairs(
     if verify not in ("auto", "grouped", "pairs"):
         raise ValueError(f"unknown verify strategy {verify!r}")
     if verify == "auto":
-        verify = "grouped" if planes >= _GROUPED_VERIFY_MIN_PLANES else "pairs"
+        bucket_ok = (
+            n_rows is not None
+            and (n_rows / float(2**planes)) * dim * 8 <= _GROUPED_MAX_BUCKET_BYTES
+        )
+        verify = (
+            "grouped"
+            if planes >= _GROUPED_VERIFY_MIN_PLANES or bucket_ok
+            else "pairs"
+        )
     if verify == "grouped":
         return _grouped_near_dup(emb, threshold, n_tables, planes, dim)
     from log_anomaly_detector_spark.operators.caching import tracked_persist
@@ -764,11 +800,25 @@ def embedding_near_dup_pairs(
         ),
         "id_b",
     )
-    # pair dot via the Arrow kernel (bit-identical sequential fold, see
-    # _pair_dot_udf) — dot/(na*nb) evaluates the same IEEE ops as the inline
-    # cosine, so the 6dp round stays bit-exact vs the DuckDB oracle
+    # pair dot via the INLINE JVM fold (round 7): the r6 Arrow `_pair_dot_udf`
+    # here was the CLAUDE.md pair-stream trap — a pandas_udf over the
+    # candidate-PAIR stream ships both vectors per pair to Python workers,
+    # exactly the transfer co-tenant load crushes (r6 verdict: 2.2 s → 5.9 s
+    # on the contract regime). The fold evaluates the identical IEEE ops
+    # (dot/(na·nb), sequential accumulation), so the 6dp round stays
+    # bit-exact vs the DuckDB oracle AND vs the grouped kernel; the Arrow
+    # kernels stay where they won — corpus-sized passes (`_norm_udf`) and
+    # group-local verifies, never pair streams.
+    # zero-norm guard (ADVICE r6): ANSI Spark RAISES on x/0 where numpy and
+    # DuckDB produce 0/0 = NaN — and both engines order NaN above every
+    # double, so the `cosine >= τ` filter must KEEP such pairs. The explicit
+    # NaN branch makes the pair stream byte-equal to the grouped kernel and
+    # the oracle on all-zero embeddings instead of crashing.
+    denom = F.col("na") * F.col("nb")
     cos = F.round(
-        _pair_dot_udf()(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        F.when(denom != 0, _dot(F.col("va"), F.col("vb")) / denom).otherwise(
+            F.lit(float("nan"))
+        ),
         6,
     )
     return (
@@ -788,13 +838,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # testdata parquet arrives as ONE split; the cheap id repartition
     # parallelizes the signature kernel and the norm computation. The dim
-    # probe reads ONE row off the raw scan (pre-repartition — probing the
-    # shuffled side would run the whole shuffle-map stage for one row).
-    dim = _emb_dim(raw)
-    if dim is None:  # empty corpus → empty result, contract schema
+    # probe and the ROW COUNT (which sizes the verify dispatch — grouped
+    # kernel iff buckets stay memory-bounded) come from ONE cheap aggregate
+    # over the raw scan (pre-repartition — probing the shuffled side would
+    # run the whole shuffle-map stage for one row).
+    probe = raw.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size("v"), ignorenulls=True).alias("d"),
+    ).first()
+    if probe is None or probe["d"] is None:  # empty corpus → contract schema
         return spark.createDataFrame([], _PAIRS_SCHEMA)
     emb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    return embedding_near_dup_pairs(emb, dim=dim)
+    return embedding_near_dup_pairs(emb, dim=probe["d"], n_rows=probe["n"])
 
 
 # production-regime parameterization: high threshold, enough planes per

@@ -368,8 +368,29 @@ GROUP BY tg.doc_id
 # tests/test_operators.py::test_jaccard_hot_shingle_pair_found). Computing
 # df costs one extra shuffle (shingle-keyed count + join) — the price of
 # exactness, and at 100 TB the df table is vocabulary-sized while the join
-# it feeds shrinks quadratically. ---------------------------------------------
+# it feeds shrinks quadratically.
+#
+# Round 7 adds the K=2 PREFIX SCHEME (Xiao et al.'s k-prefix generalization)
+# because profiling at sf1.0 (50k docs sharing a 28k-shingle vocabulary)
+# showed the 1-prefix candidate set is ~30M pairs of which ~95% share exactly
+# ONE prefix shingle — and the exact verify (two array fetch joins +
+# array_intersect per pair) was 132 of the query's 173 seconds. Lemma: if
+# raw jaccard(A,B) ≥ τ' then |A∩B| =: o ≥ ceil(τ'·|A|), and the k smallest
+# common shingles (canonical order) all sit within the first |A|-o+k tokens
+# of A (everything after the k-th common token includes the other o-k common
+# tokens) — symmetrically for B. So with per-doc prefix length
+# floor((1-τ)·sz)+3 (= sz-ceil(τ·sz)+3 ≥ sz-o+2 even when ceil(τ'·sz) =
+# ceil(τ·sz)-1 on exact-integer boundaries), every qualifying pair shares
+# ≥ 2 prefix shingles — EXCEPT pairs where a side has a single-shingle set
+# (o=1), kept via the minsz≤2 escape. Candidates = grouped emission count
+# ≥ 2 (or minsz ≤ 2), after a size-ratio pre-filter (jac ≤ min/max, so
+# min ≥ τ'·max for any emitting pair). All bounds use τ' = τ−5e−7 (any raw
+# value that 6dp-half-up-rounds to τ must survive), so the candidate set
+# still superset-covers the exact result and the verify stays byte-identical
+# to the 1-prefix formulation (sf1.0: candidates 29.6M → ~2M, verify 132s →
+# seconds; oracle untouched). -------------------------------------------------
 JACCARD_THRESHOLD = 0.7
+_J_SLACK = JACCARD_THRESHOLD - 5e-7  # 6dp round-half-up admission boundary
 
 
 def shingles(text_col) -> "F.Column":
@@ -411,14 +432,18 @@ def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back is shingle-keyed (AQE broadcasts it while it is small)
     df_tbl = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    # k=2 prefix: TWO extra tokens past the 1-prefix length (header note: +3
+    # total covers the ceil boundary of the τ' slack) — qualifying pairs are
+    # then guaranteed ≥ 2 common prefix shingles, so the grouped count below
+    # prunes the share-exactly-one majority BEFORE any array is fetched
     pfx = (
         toks.join(df_tbl, "sh")
         .withColumn("_rn", F.row_number().over(wdoc))
         .filter(
             F.col("_rn")
-            <= (F.floor(F.col("sz") * (1 - JACCARD_THRESHOLD)) + 1).cast("int")
+            <= (F.floor(F.col("sz") * (1 - JACCARD_THRESHOLD)) + 3).cast("int")
         )
-        .select("doc_id", "sh")
+        .select("doc_id", "sz", "sh")
     )
     a, b = pfx.alias("a"), pfx.alias("b")
     cand = (
@@ -426,8 +451,22 @@ def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        # size-ratio filter (jac ≤ min_sz/max_sz): sound under the τ' slack,
+        # applied per emission before the pair shuffle
+        .filter(
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= _J_SLACK * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.least(F.col("a.sz"), F.col("b.sz")).alias("_minsz"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_npfx"), F.min("_minsz").alias("_minsz"))
+        # single-shingle sets (o=1) cannot satisfy the ≥2-common-prefix lemma
+        .filter((F.col("_npfx") >= 2) | (F.col("_minsz") <= 2))
+        .select("doc_a", "doc_b")
     )
     # exact verify on the full shingle sets, intersected WITHIN the row
     sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))

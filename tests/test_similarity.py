@@ -509,14 +509,18 @@ def test_embedding_near_dup_production_regime(spark, tmp_path):
 
 
 def test_near_dup_regimes_do_not_thrash_persist_slots(spark):
-    """The contract (24×2) regime keys its signature-table persist BY REGIME
-    (a shared key would be thrashed by any other pair-stream
-    parameterization in the session); the production (8×12) regime runs the
-    GROUPED verify, which reads every table exactly once and must therefore
-    register NO persist at all — a grouped-path cache would hold corpus-
-    sized vector payloads hostage for a single-pass plan."""
+    """Since round 7 BOTH contract regimes dispatch to the GROUPED verify
+    (bucket memory is bounded at every bench scale), which reads every table
+    exactly once and must register NO persist at all — a grouped-path cache
+    would hold corpus-sized vector payloads hostage for a single-pass plan.
+    The pair-stream fallback (explicit ``verify='pairs'``, or a low-plane
+    corpus too large for bounded buckets) still keys its signature-table
+    persist BY REGIME, so alternating parameterizations never thrash a
+    shared slot."""
     from log_anomaly_detector_spark.operators.caching import _LIVE, release_all
     from log_anomaly_detector_spark.operators.similarity import (
+        _emb_dim,
+        embedding_near_dup_pairs,
         q_embedding_near_dup,
         q_embedding_near_dup_production,
     )
@@ -525,8 +529,17 @@ def test_near_dup_regimes_do_not_thrash_persist_slots(spark):
     q_embedding_near_dup(spark, SF).collect()
     q_embedding_near_dup_production(spark, SF).collect()
     live = set(_LIVE)
-    assert "embnd_skinny_24x2" in live, live
-    assert not any(k.startswith("embnd_skinny_8x12") for k in live), live
+    assert not any(k.startswith("embnd_") for k in live), live
+    # explicit pair-stream fallback: regime-keyed slot appears
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .selectExpr("vec_id", "cast(embedding as array<double>) v")
+        .filter("v is not null")
+    )
+    embedding_near_dup_pairs(
+        emb, dim=_emb_dim(emb), verify="pairs"
+    ).collect()
+    assert "embnd_skinny_24x2" in set(_LIVE), set(_LIVE)
     release_all()
 
 
@@ -551,29 +564,35 @@ def test_grouped_verify_matches_pair_stream_bitwise(spark):
         for rep in (1, 2):
             w = base[k] + rng.normal(scale=0.01, size=64)
             vecs[100 * rep + k] = w / np.linalg.norm(w)
+    # zero-norm vectors (ADVICE r6): cosine is 0/0 = NaN; Spark and DuckDB
+    # order NaN above every double so the `cosine >= τ` filter KEEPS such
+    # pairs — both physical strategies must agree on that, byte-for-byte
+    vecs[900] = np.zeros(64)
+    vecs[901] = np.zeros(64)
     df = spark.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in vecs.items()],
         "vec_id long, v array<double>",
     ).repartition(5)
+
+    def norm_rows(rows):
+        # NaN != NaN would break tuple equality; map it to a sentinel
+        return sorted(
+            (r["id_a"], r["id_b"], "NaN" if np.isnan(r["cosine"]) else r["cosine"])
+            for r in rows
+        )
+
     #          wide+grouped      packed+grouped    many-table grouped
     for nt, pl, tau in ((8, 12, 0.85), (4, 8, 0.15), (16, 9, 0.5)):
-        a = sorted(
-            map(
-                tuple,
-                embedding_near_dup_pairs(
-                    df, tau, nt, pl, verify="pairs"
-                ).collect(),
-            )
+        a = norm_rows(
+            embedding_near_dup_pairs(df, tau, nt, pl, verify="pairs").collect()
         )
-        b = sorted(
-            map(
-                tuple,
-                embedding_near_dup_pairs(
-                    df, tau, nt, pl, verify="grouped"
-                ).collect(),
-            )
+        b = norm_rows(
+            embedding_near_dup_pairs(df, tau, nt, pl, verify="grouped").collect()
         )
         assert a == b, (nt, pl, tau, a[:5], b[:5])
+        # the zero-norm pair collides in every table (all-zero buckets) and
+        # must survive both paths as a NaN row
+        assert (900, 901, "NaN") in a, (nt, pl, tau)
         if tau <= 0.15:  # the low-τ config must actually emit pairs
             assert len(a) > 20, len(a)
 
