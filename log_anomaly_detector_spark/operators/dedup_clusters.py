@@ -41,27 +41,71 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 20,
+    collect_budget: int = 1_000_000,
 ) -> DataFrame:
     """(node, component_id) for every node in ``pairs``; component_id = the
     minimum node id reachable from it.
 
-    ONE Spark action per round: each node's OLD label rides through the
-    grouped min as a second aggregate (own rows are tagged, and a node owns
-    exactly one label row), so the changed-count comes out of the same
-    aggregation instead of a separate join-and-count job, and the per-round
-    checkpoint is LAZY — the convergence-probe aggregate materializes it.
+    SIZE-DISPATCHED (round 7): the pair graph of a near-dup pass is
+    RESULT-sized (edges exist only between actual duplicates), and at bench
+    scale it is a few thousand rows — but the iterative propagation still
+    paid diameter+1 rounds of fixed job overhead (join + grouped min +
+    checkpoint ≈ 0.4 s/round) to resolve it. When the (persisted) edge count
+    is within ``collect_budget`` rows, the components are resolved DRIVER-
+    side with union-find over the collected edges — O(edges·α) work on a
+    dim-sized list, the same driver-state pattern as template_induction's
+    dim — and returned as one createDataFrame with byte-identical (node,
+    min-reachable-id) semantics (pinned by the fast-vs-iterative parity
+    test). Larger graphs (the 100 TB regime) keep the distributed iterative
+    path below; ``collect_budget=0`` forces it.
 
-    ``max_rounds`` bounds TOTAL rounds, including the final quiet round that
-    observes changed==0 — a component of diameter D needs up to D propagation
-    rounds plus that confirmation, so the deepest resolvable diameter is
-    ``max_rounds - 1``. Exceeding it raises (a duplicate graph with diameter
-    ≥ 20 means the pair generator is linking non-duplicates — fail loudly,
-    don't spin)."""
+    Iterative path: ONE Spark action per round — each node's OLD label rides
+    through the grouped min as a second aggregate (own rows are tagged, and
+    a node owns exactly one label row), so the changed-count comes out of
+    the same aggregation instead of a separate join-and-count job, and the
+    per-round checkpoint is LAZY — the convergence-probe aggregate
+    materializes it.
+
+    ``max_rounds`` bounds TOTAL rounds of the iterative path, including the
+    final quiet round that observes changed==0 — a component of diameter D
+    needs up to D propagation rounds plus that confirmation, so the deepest
+    resolvable diameter is ``max_rounds - 1``. Exceeding it raises (a
+    duplicate graph with diameter ≥ 20 means the pair generator is linking
+    non-duplicates — fail loudly, don't spin)."""
     # the symmetrizing union reads ``pairs`` twice — without a persist that
     # is two full executions of the (expensive) pair-generation plan inside
     # the edge checkpoint; cache it for the one action that builds edges,
     # then drop it (rounds only ever touch the checkpointed edge table)
     pairs_c = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist()
+    if collect_budget and pairs_c.count() <= collect_budget:
+        rows = pairs_c.collect()
+        pairs_c.unpersist(blocking=False)
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r["s"], r["d"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id: the root IS the component id, so the
+                # min-reachable-node contract holds by construction
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(n, find(n)) for n in parent]
+        node_t = pairs.schema[src].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            out, f"node {node_t}, component_id {node_t}"
+        )
     edges = (
         pairs_c.unionByName(
             pairs_c.select(F.col("d").alias("s"), F.col("s").alias("d"))

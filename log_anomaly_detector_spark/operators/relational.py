@@ -16,6 +16,27 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def widen(df: DataFrame, *keys) -> DataFrame:
+    """Repartition an under-split scan to session parallelism (round 7).
+
+    Every testdata parquet is ONE row group, so a scan is one task no matter
+    what `maxPartitionBytes` says — and any query whose per-row scan-side
+    work is heavy (md5 per word, regex per event, n-gram folds) runs that
+    work on ONE core (sf1.0 profiling: simhash 31 s, param_extract ~5 s,
+    repetition_filter 5.3 s — all almost pure single-task compute). The
+    cheap keyed repartition of the RAW rows parallelizes the projection;
+    queries whose work is light relative to a shuffle of their input keep
+    the plain scan (this helper is opt-in per query, not blanket — guide
+    §2.4: don't add exchanges where the scan-side work is trivial). On a
+    well-split production table the guard makes it a no-op. Keys must be
+    deterministic columns (hash partitioning is stable under retries;
+    guide §2.5 warns off rand-derived keys)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *keys) if keys else df.repartition(par)
+
+
 def one_part(col) -> "F.Column":
     """Constant-valued but NON-foldable window partition key (``pmod(col,1)``
     is 0 for every row). Used to number inputs that are KNOWN BOUNDED (post
@@ -85,7 +106,14 @@ ORDER BY l_returnflag, l_linestatus
 # block_id → [event…] in LineId order; Spark collect_list is unordered so the
 # order is pinned via array_sort over (ts, event_id) structs) ---------------
 def q_group_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # project to the agg's columns BEFORE the widening shuffle (guide §2.3),
+    # and key it by the GROUP key so the aggregation reuses the partitioning
+    # (no second exchange); the heavy struct-collect partials then build on
+    # every core instead of the scan's single split
+    ev = widen(
+        t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type"),
+        "user_id",
+    )
     seq = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
@@ -658,7 +686,9 @@ def parameter_list(content, template) -> "F.Column":
 
 
 def q_param_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # three regex passes per event — parallelize the single-split scan
+    # (projected to the two columns the query reads)
+    ev = widen(t(spark, sf_dir, "events").select("event_id", "props"), "event_id")
     template = F.regexp_replace(F.col("props"), r"\d+", "<*>")
     params = parameter_list(F.col("props"), template)
     return ev.select(
@@ -749,7 +779,8 @@ def _two_phase_rank(
 
 
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # word explode + counts off a single-split scan — widen first
+    docs = widen(t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
         F.length("word") > 0
     )

@@ -22,14 +22,18 @@ from log_anomaly_detector_spark.functions.text_funcs import (
     word_ngrams,
     words,
 )
-from log_anomaly_detector_spark.operators.relational import _hash_bucket, t
+from log_anomaly_detector_spark.operators.relational import _hash_bucket, t, widen
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
 
 
 # --- token counting: whitespace + a BPE-ish regex tokenizer ------------------
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # regex tokenizer per doc on a single-split scan — widen (guide §2.4
+    # note in relational.widen)
+    docs = widen(
+        t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"), "doc_id"
+    )
     return docs.select(
         "doc_id",
         F.size(words(F.col("text"))).alias("n_ws_tokens"),
@@ -51,7 +55,10 @@ FROM documents
 
 # --- quality scoring: length / stopword / word-length features --------------
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # per-word stopword filter on a single-split scan — widen
+    docs = widen(
+        t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"), "doc_id"
+    )
     ws = words(F.col("text"))
     n_words = F.size(ws)
     # quality is computed from the UNROUNDED ratio: rounding first can land
@@ -98,7 +105,9 @@ FROM documents
 
 # --- language-ID heuristic (n-gram/stopword hits) ----------------------------
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = widen(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), "doc_id"
+    )
     ws = words(F.col("text"))
     hits = stopword_count(ws)
     return docs.select(
@@ -136,7 +145,7 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup on a 5-word prefix fingerprint: hash → groupBy →
     having count > 1 (the scalable exact-dedup shape: one shuffle on the
     hash, never on document text)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = widen(t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     pfx = F.md5(F.array_join(F.slice(words(F.col("text")), 1, 5), " "))
     return (
         docs.select("doc_id", pfx.alias("prefix_fp"))
@@ -190,7 +199,10 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-half ties diverge between Spark and DuckDB); the keep flag is
     integer-exact cross-multiplication for the same reason. Docs with <3
     words have no 3-grams and are excluded by definition."""
-    docs = t(spark, sf_dir, "documents")
+    # the fold is row-local (shuffle-free by design) but the single-split
+    # scan ran it on one core — the widening repartition is the one exchange
+    # this plan has, and it carries raw (doc_id, text) only
+    docs = widen(t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     base = docs.select(
         "doc_id", words(F.col("text")).alias("_ws")
     ).filter(F.size("_ws") >= 3)
@@ -306,7 +318,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and short/edge docs (<5 words, zero grams) stay in the output with
     n_5grams=0 via explode_outer. Duplicate grams in one doc each count one
     hit position (the eval side is distinct, so the join never fans out)."""
-    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = widen(
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull()),
+        "doc_id",
+    )
     # note: word_ngrams requires the token array PROJECTED to an alias —
     # an inlined words(text) re-evaluates the split per element_at reference
     # inside the interpreted transform lambda (measured 15.1s vs 0.51s on
@@ -634,8 +651,10 @@ def _md5_int60(col) -> "F.Column":
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 16-bit SimHash per doc: per-word hash bit votes summed
     JVM-side (16 conditional aggregates), assembled into an int. md5-derived
-    bits → bit-exact DuckDB oracle."""
-    docs = t(spark, sf_dir, "documents")
+    bits → bit-exact DuckDB oracle. The md5-per-word projection is the
+    heaviest scan-side compute in the pack (sf1.0: 31 s on the single-split
+    scan, seconds once widened)."""
+    docs = widen(t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w")).withColumn(
         "h", _md5_int60(F.col("w"))
     )
@@ -750,7 +769,12 @@ def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     prefix = F.slice(words(F.col("text")), 1, 5)
-    lines = docs.select(F.col("doc_id").alias("line_id"), prefix.alias("tokens"))
+    # the line side scores every row against the broadcast template dim —
+    # widen it; the 25-row template side stays on the plain scan (its
+    # doc_id<25 predicate pushes down)
+    lines = widen(docs.select("doc_id", "text"), "doc_id").select(
+        F.col("doc_id").alias("line_id"), prefix.alias("tokens")
+    )
     templates = (
         docs.filter(F.col("doc_id") < 25)
         .select(
