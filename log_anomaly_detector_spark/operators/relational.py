@@ -244,15 +244,30 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     check's yardstick. The ENGINE's R3 stats path uses only
     ``approx_count_distinct`` (rules/column_stats.py) — never the exact side
     (asserted by tests/test_rules.py::test_stats_plan_has_no_exact_distinct),
-    so a 100 TB validation run never pays an exact-distinct shuffle."""
-    agg = (
-        t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", HLL_RSD).alias("_approx"),
-            F.countDistinct("user_id").alias("n_users_exact"),
-        )
+    so a 100 TB validation run never pays an exact-distinct shuffle.
+
+    SPLIT-PASS SHAPE (round 7): combining the exact and the sketch in ONE
+    agg makes Spark's distinct-rewrite allocate a partial HLL buffer per
+    (event_type, user_id) GROUP — a million sketches whose only job is to be
+    merged away (A/B at sf1.0: 3.9 s combined vs 1.1 s split). Two cheap
+    passes instead: the exact distinct as a plain two-level dedup, the
+    sketch as a normal single-pass aggregate (per-task partials, group-count
+    many sketches), joined on the group key. HLL registers are max-merged,
+    so sketch-over-multiset == merge-of-partials — the estimate is
+    value-identical either way."""
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
     )
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", HLL_RSD).alias("_approx")
+    )
+    # null-safe key: a NULL event_type is a legitimate group in both passes
+    # (a plain equi-join would silently drop it — pinned by the null sweep)
+    agg = exact.join(
+        approx.withColumnRenamed("event_type", "_et"),
+        F.col("event_type").eqNullSafe(F.col("_et")),
+    ).drop("_et")
     # zero guard: a group whose user_id values are all NULL has exact = 0 —
     # 0/0 would be NaN (≤ always false) and fail the gate on a DATA shape,
     # not a sketch regression; exact 0 is in-band iff the sketch also says 0
@@ -441,7 +456,12 @@ GROUP BY 1, 2
 # group-collect ---------------------------------------------------------------
 def q_stitch_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
+    # project lineitem to the two join/agg columns at the scan (guide §2.3 —
+    # the collect shuffle then carries 12 B/row). A widening repartition was
+    # A/B-tested here and LOST (3.9 s vs 5.7 s at sf1.0): the partial
+    # collect_list barely reduces rows, so a pre-shuffle only adds a second
+    # full exchange of the same payload.
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
     lines = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("l_linenumber"))),

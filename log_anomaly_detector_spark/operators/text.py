@@ -547,11 +547,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ENTIRE sketch (signatures, band buckets, estimate) has a bit-exact
     DuckDB oracle. Scale shape: band-hash shuffle + per-bucket pairing only,
     never all-pairs."""
+    from log_anomaly_detector_spark.operators.caching import tracked_persist
+
     docs = t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # ^ single-split testdata: parallelize the shingle explosion
-    sig = minhash_signatures(docs)
+    # ^ single-split testdata: parallelize the shingle explosion. The
+    # signature table (doc_id + 16 longs — vocabulary-free, dim-per-doc) is
+    # read THREE times now (band explosion + the two candidate fetch joins),
+    # and rebuilding it means re-running the 16-way md5 sketch over every
+    # shingle — persist the narrow result once per session.
+    sig = tracked_persist("minhash_sig", minhash_signatures(docs))
     rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -576,6 +582,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # SKINNY candidate dedup (round 7): the former plan carried BOTH
+    # 16-element signature arrays through the cross-band dropDuplicates,
+    # which Spark executes as Sort + SortAggregate (first() over array
+    # columns is not hash-aggregable) — pair payloads sorted to dedup pair
+    # KEYS. Dedup the bare (doc_a, doc_b) pairs with a hash aggregate, then
+    # re-attach signatures via keyed joins (AQE broadcasts the dim-sized sig
+    # table at bench scale; shuffles, never OOMs, at corpus scale) — the
+    # guide-§8 rule: every shuffle but the last moves keys, not payloads.
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -587,10 +601,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
     )
     est = F.round(
         F.size(
