@@ -191,10 +191,13 @@ def spell_match(
 # identical inputs. ------------------------------------------------------------
 def q_spell_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_anomaly_detector_spark.functions.text_funcs import words
-    from log_anomaly_detector_spark.operators.relational import t
+    from log_anomaly_detector_spark.operators.relational import t, widen
 
     docs = t(spark, sf_dir, "documents")
-    lines = docs.select(
+    # the line side is consumed three times (probe explode, candidate
+    # re-join, final left join), each tokenizing off the single-split scan —
+    # widen it once (template side keeps the plain scan: doc_id<25 pushes)
+    lines = widen(docs.select("doc_id", "text"), "doc_id").select(
         F.col("doc_id").alias("line_id"),
         F.slice(words(F.col("text")), 1, 5).alias("tokens"),
     )

@@ -144,8 +144,11 @@ FROM documents
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup on a 5-word prefix fingerprint: hash → groupBy →
     having count > 1 (the scalable exact-dedup shape: one shuffle on the
-    hash, never on document text)."""
-    docs = widen(t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    hash, never on document text). NOT widened: one md5 of a 5-word prefix
+    per doc is too light to pay a repartition for (A/B: widening cost
+    +0.3 s at sf0.1 vs −0.3 s at sf1.0 — a wash that loses at the
+    round-over-round comparison scale)."""
+    docs = t(spark, sf_dir, "documents")
     pfx = F.md5(F.array_join(F.slice(words(F.col("text")), 1, 5), " "))
     return (
         docs.select("doc_id", pfx.alias("prefix_fp"))
