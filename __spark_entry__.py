@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship pricing-summary aggregate at sf0.001.
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 (+ the training-data ops: dedup, similarity, text analysis,
-multimodal); ``oracle_sql()`` carries a hard check for ALL 52 — 50 as
+multimodal); ``oracle_sql()`` carries a hard check for ALL 54 — 52 as
 DuckDB-equivalent ANSI SQL (including a recursive-CTE LCS for spell_match
 and a transitive-closure CTE for dedup_clusters),
 hll_distinct as a tolerance-band contract (exact distinct hash-compared +

@@ -158,20 +158,43 @@ def run_validation(
         # partition pruning: on Iceberg/hive layouts this filter prunes files
         sub = seqs.filter(F.col("part_id").isin([int(p) for p in batch]))
 
-        # job 1: the single stats scan
-        stats_rows = [r.asDict() for r in stats_pass(sub, cfg, sources).collect()]
-        stats_by_part = {r["part_id"]: r for r in stats_rows}
-        job_secs["stats"] += time.time() - t0
+        # jobs 1+2 OVERLAPPED (round 7, guide §2.6): the stats scan and the
+        # row-rule violations write are independent passes over the same
+        # input — submitted from two driver threads so the second job's
+        # tasks back-fill the first one's straggler tail instead of waiting
+        # for it (Spark's scheduler runs concurrent jobs FIFO; actions were
+        # only sequential because this loop called them sequentially).
+        # A/B at 2M docs: ~6.4 s → ~5 s batch wall. job_secs still records
+        # each job's own span (they overlap, so their sum exceeds the wall).
+        def _stats_job():
+            t = time.time()
+            rows = [r.asDict() for r in stats_pass(sub, cfg, sources).collect()]
+            job_secs["stats"] += time.time() - t
+            return rows
 
-        # job 2: row rules → violations table (delete+insert, idempotent)
-        t1 = time.time()
-        viol, cache_handle = _row_rule_violations(sub, snapshot, allowed, cfg, dups)
-        # violations are tiny — coalesce the writers so each partition dir
-        # gets one file instead of one per upstream task
-        storage.overwrite_partitions(viol.repartition("part_id"), viol_path, batch)
-        if cache_handle is not None:
-            cache_handle.unpersist()
-        job_secs["violations"] += time.time() - t1
+        def _violations_job():
+            # job 2: row rules → violations table (delete+insert, idempotent)
+            t = time.time()
+            viol, cache_handle = _row_rule_violations(
+                sub, snapshot, allowed, cfg, dups
+            )
+            # violations are tiny — coalesce the writers so each partition
+            # dir gets one file instead of one per upstream task
+            storage.overwrite_partitions(
+                viol.repartition("part_id"), viol_path, batch
+            )
+            if cache_handle is not None:
+                cache_handle.unpersist()
+            job_secs["violations"] += time.time() - t
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_stats = pool.submit(_stats_job)
+            f_viol = pool.submit(_violations_job)
+            stats_rows = f_stats.result()
+            f_viol.result()
+        stats_by_part = {r["part_id"]: r for r in stats_rows}
         t2 = time.time()
 
         # job 3: ONE rollup agg over written violations gives both the
