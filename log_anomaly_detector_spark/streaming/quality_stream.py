@@ -179,22 +179,27 @@ def run_quality_gate_once(
     quarantine with full metrics for audit), then return the kept rows.
 
     The eval gram set is persisted for the drain so the static side is
-    scanned once, not once per micro-batch. foreachBatch gives dual sinks
-    at the cost of exactly-once: a batch retried after a mid-write crash
-    can append twice. The production pattern is idempotent per-batch output
-    paths (partition by batch_id and overwrite); this drain helper targets
-    local smoke runs, same caveat discipline as run_dedup_stream_once."""
+    scanned once, not once per micro-batch. Both sinks are IDEMPOTENT
+    per batch (round 7, ADVICE r6): rows land under a ``_batch_id``
+    partition written with dynamic partition overwrite, so a batch retried
+    after a mid-write failure REPLACES its own partition instead of
+    double-appending — the returned kept rows are exact counts, not
+    at-least-once counts."""
     eval_grams = eval_grams.persist()
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:
-        gated = _gate_batch(batch_df, eval_grams).persist()
+        gated = (
+            _gate_batch(batch_df, eval_grams)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .persist()
+        )
         try:
             gated.filter(F.col("keep")).drop("keep").write.mode(
-                "append"
-            ).parquet(kept_dir)
-            gated.filter(~F.col("keep")).write.mode("append").parquet(
-                quarantine_dir
-            )
+                "overwrite"
+            ).partitionBy("_batch_id").parquet(kept_dir)
+            gated.filter(~F.col("keep")).write.mode("overwrite").partitionBy(
+                "_batch_id"
+            ).parquet(quarantine_dir)
         finally:
             gated.unpersist()
 
@@ -212,17 +217,20 @@ def run_quality_gate_once(
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(kept_dir)
+        return spark.read.parquet(kept_dir).drop("_batch_id")
     except AnalysisException as ex:
         cond = (
             ex.getCondition()
             if hasattr(ex, "getCondition")
             else ex.getErrorClass()
         )
-        # foreachBatch sinks are PLAIN parquet dirs (no _spark_metadata), so
-        # an empty drain leaves NO directory at all — PATH_NOT_FOUND is the
-        # only benign condition here; anything else surfaces
-        if cond != "PATH_NOT_FOUND":
+        # foreachBatch sinks are PLAIN parquet dirs (no _spark_metadata): an
+        # empty drain leaves NO directory (PATH_NOT_FOUND), and a drain
+        # whose batches all kept zero rows leaves the bare partition root a
+        # dynamic-overwrite write created with no files under it
+        # (UNABLE_TO_INFER_SCHEMA) — both mean "zero kept rows"; anything
+        # else surfaces
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         return spark.createDataFrame(
             [],

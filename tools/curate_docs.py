@@ -78,8 +78,14 @@ def curate(spark, data_dir: str, out_dir: str, eval_dir: str | None = None) -> d
     # first-wins in STAGES order via min(rank) at the end
     drops = []
 
-    # 1. exact dedup: full-content fingerprint, keep the smallest doc_id
-    fps = docs.select("doc_id", fingerprint(F.col("text")).alias("_fp"))
+    # 1. exact dedup: full-content fingerprint, keep the smallest doc_id.
+    # NULL-text docs are excluded here (fingerprint(NULL) is NULL and
+    # groupBy collates NULL keys, which would quarantine all content-less
+    # docs as "duplicates" of each other — ADVICE r6); they fall through to
+    # the quality gate, which is the stage that owns empty content.
+    fps = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", fingerprint(F.col("text")).alias("_fp")
+    )
     keepers = fps.groupBy("_fp").agg(F.min("doc_id").alias("_keep"))
     drops.append(
         fps.join(keepers, "_fp")
