@@ -519,6 +519,13 @@ def _grouped_verify_udf(
                 prefilter = np.abs(VQ).max(initial=0) <= pf_max
                 if prefilter:
                     sa = np.abs(VQ).sum(axis=1)  # per-row Σ|vq| dot bound
+                    # float64 copy for the dot matmul: BLAS GEMM is ~4× the
+                    # int64 kernel, and under the pf_max gate it is EXACT —
+                    # every product and every partial sum is an integer with
+                    # |·| ≤ dim·max|vq|² < 2^53, exactly representable in
+                    # float64 at any accumulation order (verified
+                    # array_equal vs the int64 matmul)
+                    VQf = VQ.astype(np.float64)
                 # row blocks of b rows × ≤g cols bound scratch to ~pair_block
                 b = max(1, pair_block // g)
                 for r0 in range(0, g - 1, b):
@@ -527,7 +534,7 @@ def _grouped_verify_udf(
                     cl = np.arange(g - r0 - 1, dtype=np.int64)  # cols r0+1..
                     tri = cl[None, :] >= rl[:, None]  # ⟺ j > i globally
                     if prefilter:
-                        dq = VQ[r0:r1] @ VQ[r0 + 1 :].T  # exact int64
+                        dq = VQf[r0:r1] @ VQf[r0 + 1 :].T  # exact (see above)
                         lhs = dq * 1e-12
                         err = (sa[r0:r1, None] + sa[None, r0 + 1 :] + dim) * 1e-12
                         rhs = slack * (norms[r0:r1, None] * norms[None, r0 + 1 :])

@@ -24,6 +24,15 @@ def get_spark(
     ``shuffle_partitions`` default: the local core count — the 200 default
     over-parallelizes small local runs and under-parallelizes big ones.
     """
+    # cap BLAS threading in the Python workers BEFORE the JVM (and therefore
+    # the workers) inherit this environment: task-level parallelism already
+    # uses every core, and 32 workers × an N-thread GEMM pool oversubscribes
+    # the box exactly when the Arrow kernels go hot. Workers import numpy
+    # fresh, so the env caps them; setdefault keeps a caller's explicit
+    # sizing. (Driver-side numpy may already be loaded — its tiny dim-sized
+    # math doesn't care.)
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
